@@ -1,0 +1,218 @@
+"""NCSNv2 score networks (RefineNet encoder–decoder) in flax, NHWC.
+
+Re-designed from the behavior of reference ncsnv2/models/ncsnv2.py:
+  - NCSNv2        (ncsnv2.py:11-101)   — 4 res stages, 4 refine stages
+  - NCSNv2Deeper  (ncsnv2.py:104-195)  — 5 res stages, 5 refine stages
+  - NCSNv2Deepest (ncsnv2.py:198-300)  — 6 res stages, 6 refine stages;
+    the model used for channels (5,890,082 params at ngf=32, 2 channels).
+
+Differences from the reference by design (TPU-first):
+  - NHWC layout; input is (B, Nt, Nr, 2) real.
+  - σ-conditioning is explicit: the forward takes `used_sigmas` (per-sample
+    σ or a scalar) instead of integer labels indexed into a registered
+    buffer (ncsnv2.py:295-298); the σ-table lives with the caller. The
+    output is divided by σ exactly as in the reference.
+  - The fixed input transform h = 2x − 1 (ncsnv2.py:270-273, always active
+    for the channel config because `logit_transform`/`rescaled` are unset
+    DotMap keys) is an explicit config field `input_transform`.
+
+Module names mirror reference state-dict keys (res1.0 ↔ res1_0 …) so the
+pretrained checkpoints translate exactly via models/torch_compat.py.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from .layers import (
+    Conv2d,
+    InstanceNorm2dPlus,
+    RefineBlock,
+    ResidualBlock,
+    get_act,
+    get_normalization,
+)
+
+Array = jax.Array
+
+
+def _apply_sigma_scaling(out: Array, used_sigmas: Array) -> Array:
+    """output / σ with σ scalar or (B,) (ncsnv2.py:295-298)."""
+    s = jnp.asarray(used_sigmas, out.dtype)
+    if s.ndim == 0:
+        return out / s
+    return out / s.reshape((out.shape[0],) + (1,) * (out.ndim - 1))
+
+
+class _NCSNv2Base(nn.Module):
+    config: ModelConfig
+    channels: int = 2
+
+    def _transform(self, x: Array) -> Array:
+        if self.config.input_transform == "affine_2x_minus_1":
+            return 2.0 * x - 1.0
+        if self.config.input_transform == "identity":
+            return x
+        raise ValueError(self.config.input_transform)
+
+
+class NCSNv2Deepest(_NCSNv2Base):
+    """The channel-estimation score network (ncsnv2.py:198-300)."""
+
+    @nn.compact
+    def __call__(self, x: Array, used_sigmas: Array) -> Array:
+        cfg = self.config
+        ngf = cfg.ngf
+        act = get_act(cfg.nonlinearity)
+        norm = get_normalization(cfg.normalization)
+
+        def res(out_dim, resample=None, dilation=None, name=None):
+            return ResidualBlock(out_dim, resample=resample, act=act,
+                                 normalization=norm, dilation=dilation,
+                                 name=name)
+
+        h = self._transform(x)
+        out = Conv2d(ngf, 3, name="begin_conv")(h)
+
+        layer1 = res(ngf, name="res1_0")(out)
+        layer1 = res(ngf, name="res1_1")(layer1)
+        layer2 = res(2 * ngf, resample="down", name="res2_0")(layer1)
+        layer2 = res(2 * ngf, name="res2_1")(layer2)
+        layer3 = res(2 * ngf, resample="down", name="res3_0")(layer2)
+        layer3 = res(2 * ngf, name="res3_1")(layer3)
+        layer31 = res(2 * ngf, resample="down", name="res31_0")(layer3)
+        layer31 = res(2 * ngf, name="res31_1")(layer31)
+        layer4 = res(4 * ngf, resample="down", dilation=2, name="res4_0")(layer31)
+        layer4 = res(4 * ngf, dilation=2, name="res4_1")(layer4)
+        layer5 = res(4 * ngf, resample="down", dilation=4, name="res5_0")(layer4)
+        layer5 = res(4 * ngf, dilation=4, name="res5_1")(layer5)
+
+        hw = lambda t: (t.shape[1], t.shape[2])
+        ref1 = RefineBlock(4 * ngf, act=act, start=True, name="refine1")(
+            [layer5], hw(layer5))
+        ref2 = RefineBlock(2 * ngf, act=act, name="refine2")(
+            [layer4, ref1], hw(layer4))
+        ref31 = RefineBlock(2 * ngf, act=act, name="refine31")(
+            [layer31, ref2], hw(layer31))
+        ref3 = RefineBlock(2 * ngf, act=act, name="refine3")(
+            [layer3, ref31], hw(layer3))
+        ref4 = RefineBlock(ngf, act=act, name="refine4")(
+            [layer2, ref3], hw(layer2))
+        out = RefineBlock(ngf, act=act, end=True, name="refine5")(
+            [layer1, ref4], hw(layer1))
+
+        out = InstanceNorm2dPlus(ngf, name="normalizer")(out)
+        out = act(out)
+        out = Conv2d(self.channels, 3, name="end_conv")(out)
+        return _apply_sigma_scaling(out, used_sigmas)
+
+
+class NCSNv2Deeper(_NCSNv2Base):
+    """5-stage variant (ncsnv2.py:104-195)."""
+
+    @nn.compact
+    def __call__(self, x: Array, used_sigmas: Array) -> Array:
+        cfg = self.config
+        ngf = cfg.ngf
+        act = get_act(cfg.nonlinearity)
+        norm = get_normalization(cfg.normalization)
+
+        def res(out_dim, resample=None, dilation=None, name=None):
+            return ResidualBlock(out_dim, resample=resample, act=act,
+                                 normalization=norm, dilation=dilation,
+                                 name=name)
+
+        h = self._transform(x)
+        out = Conv2d(ngf, 3, name="begin_conv")(h)
+
+        layer1 = res(ngf, name="res1_0")(out)
+        layer1 = res(ngf, name="res1_1")(layer1)
+        layer2 = res(2 * ngf, resample="down", name="res2_0")(layer1)
+        layer2 = res(2 * ngf, name="res2_1")(layer2)
+        layer3 = res(2 * ngf, resample="down", name="res3_0")(layer2)
+        layer3 = res(2 * ngf, name="res3_1")(layer3)
+        layer4 = res(4 * ngf, resample="down", dilation=2, name="res4_0")(layer3)
+        layer4 = res(4 * ngf, dilation=2, name="res4_1")(layer4)
+        layer5 = res(4 * ngf, resample="down", dilation=4, name="res5_0")(layer4)
+        layer5 = res(4 * ngf, dilation=4, name="res5_1")(layer5)
+
+        hw = lambda t: (t.shape[1], t.shape[2])
+        ref1 = RefineBlock(4 * ngf, act=act, start=True, name="refine1")(
+            [layer5], hw(layer5))
+        ref2 = RefineBlock(2 * ngf, act=act, name="refine2")(
+            [layer4, ref1], hw(layer4))
+        ref3 = RefineBlock(2 * ngf, act=act, name="refine3")(
+            [layer3, ref2], hw(layer3))
+        ref4 = RefineBlock(ngf, act=act, name="refine4")(
+            [layer2, ref3], hw(layer2))
+        out = RefineBlock(ngf, act=act, end=True, name="refine5")(
+            [layer1, ref4], hw(layer1))
+
+        out = InstanceNorm2dPlus(ngf, name="normalizer")(out)
+        out = act(out)
+        out = Conv2d(self.channels, 3, name="end_conv")(out)
+        return _apply_sigma_scaling(out, used_sigmas)
+
+
+class NCSNv2(_NCSNv2Base):
+    """4-stage variant (ncsnv2.py:11-101)."""
+
+    @nn.compact
+    def __call__(self, x: Array, used_sigmas: Array) -> Array:
+        cfg = self.config
+        ngf = cfg.ngf
+        act = get_act(cfg.nonlinearity)
+        norm = get_normalization(cfg.normalization)
+
+        def res(out_dim, resample=None, dilation=None, name=None):
+            return ResidualBlock(out_dim, resample=resample, act=act,
+                                 normalization=norm, dilation=dilation,
+                                 name=name)
+
+        h = self._transform(x)
+        out = Conv2d(ngf, 3, name="begin_conv")(h)
+
+        layer1 = res(ngf, name="res1_0")(out)
+        layer1 = res(ngf, name="res1_1")(layer1)
+        layer2 = res(2 * ngf, resample="down", name="res2_0")(layer1)
+        layer2 = res(2 * ngf, name="res2_1")(layer2)
+        layer3 = res(2 * ngf, resample="down", dilation=2, name="res3_0")(layer2)
+        layer3 = res(2 * ngf, dilation=2, name="res3_1")(layer3)
+        layer4 = res(2 * ngf, resample="down", dilation=4, name="res4_0")(layer3)
+        layer4 = res(2 * ngf, dilation=4, name="res4_1")(layer4)
+
+        hw = lambda t: (t.shape[1], t.shape[2])
+        ref1 = RefineBlock(2 * ngf, act=act, start=True, name="refine1")(
+            [layer4], hw(layer4))
+        ref2 = RefineBlock(2 * ngf, act=act, name="refine2")(
+            [layer3, ref1], hw(layer3))
+        ref3 = RefineBlock(ngf, act=act, name="refine3")(
+            [layer2, ref2], hw(layer2))
+        out = RefineBlock(ngf, act=act, end=True, name="refine4")(
+            [layer1, ref3], hw(layer1))
+
+        out = InstanceNorm2dPlus(ngf, name="normalizer")(out)
+        out = act(out)
+        out = Conv2d(self.channels, 3, name="end_conv")(out)
+        return _apply_sigma_scaling(out, used_sigmas)
+
+
+_ARCHS = {
+    "ncsnv2": NCSNv2,
+    "ncsnv2_deeper": NCSNv2Deeper,
+    "ncsnv2_deepest": NCSNv2Deepest,
+}
+
+
+def make_score_model(model_cfg: ModelConfig, channels: int = 2):
+    """Instantiate the configured score-network architecture."""
+    try:
+        klass = _ARCHS[model_cfg.arch]
+    except KeyError:
+        raise ValueError(f"unknown arch {model_cfg.arch!r}") from None
+    return klass(config=model_cfg, channels=channels)
