@@ -15,8 +15,14 @@ import jax
 
 
 def ema_init(params):
-    """Register: shadow starts as a copy of params (ema.py:9-14)."""
-    return jax.tree_util.tree_map(lambda p: p, params)
+    """Register: shadow starts as a DISTINCT copy of params (ema.py:9-14).
+
+    Must not alias the live parameter buffers — the train step donates its
+    state, and aliased params/shadow would be donated twice.
+    """
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_map(jnp.copy, params)
 
 
 def ema_update(shadow, params, mu: float = 0.999):

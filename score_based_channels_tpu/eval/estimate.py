@@ -1,0 +1,249 @@
+"""SNR-sweep channel estimation harness (reference test_score.py redesigned).
+
+The reference loops SNR points sequentially on the host with a device sync
+every Langevin step (test_score.py:118-171). Here {SNR points × channels}
+are flattened into ONE batch through a single jitted scan (per-sample noise
+powers), optionally sharded over a ('data',) mesh and chunked to bound
+activation memory. The per-step NMSE tensor — the stopping-rule mechanism
+(test_score.py:174-175) — is a first-class output with the reference's
+(spacing, pilot_alpha, snr, step, channel) layout.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import physics
+from ..config import Config
+from ..data.dataset import ChannelDataset
+from ..diffusion.sampling import annealed_langevin_posterior
+from ..diffusion.sigmas import sigmas_from_config
+from ..parallel.mesh import data_sharding, pad_to_multiple
+
+Array = jax.Array
+
+
+def score_fn_from_params(model, params) -> Callable[[Array, Array], Array]:
+    """Bind params → score_fn(x_nhwc, sigma) for the sampler."""
+
+    def score_fn(x, sigma):
+        return model.apply({"params": params}, x, sigma)
+
+    return score_fn
+
+
+def langevin_chunked(
+    score_fn,
+    A: Array,
+    Y: Array,
+    sigmas: Array,
+    noise_power: Array,
+    x_init: Array,
+    key: Array,
+    alpha_step,
+    beta_noise,
+    steps_each: int = 3,
+    oracle: Optional[Array] = None,
+    chunk_size: Optional[int] = None,
+    mesh=None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Run the posterior sampler over a large batch in equal jit-stable chunks.
+
+    Returns host arrays (x_final (B,Nt,Nr) complex64, nmse_log (L·S, B) or None).
+    Chunks share one compiled executable (identical shapes; last chunk padded).
+    """
+    B = x_init.shape[0]
+    chunk = chunk_size or B
+    per = jnp.broadcast_to
+    noise_power = per(jnp.asarray(noise_power, jnp.float32), (B,))
+    alpha_step = per(jnp.asarray(alpha_step, jnp.float32), (B,))
+    beta_noise = per(jnp.asarray(beta_noise, jnp.float32), (B,))
+
+    sampler = jax.jit(
+        lambda a, y, npow, x0, k, al, be, orc: annealed_langevin_posterior(
+            score_fn, a, y, sigmas, npow, x0, k,
+            alpha_step=al, beta_noise=be, steps_each=steps_each, oracle=orc))
+
+    finals, traces = [], []
+    for start in range(0, B, chunk):
+        sl = slice(start, min(start + chunk, B))
+        parts = [A[sl], Y[sl], noise_power[sl], x_init[sl]]
+        hp = [alpha_step[sl], beta_noise[sl]]
+        orc = oracle[sl] if oracle is not None else None
+        n_valid = parts[0].shape[0]
+        if n_valid < chunk:  # pad the ragged tail to reuse the executable
+            parts = [pad_to_multiple(p, chunk)[0] for p in parts]
+            hp = [pad_to_multiple(p, chunk)[0] for p in hp]
+            if orc is not None:
+                orc = pad_to_multiple(orc, chunk)[0]
+        if mesh is not None:
+            parts = [jax.device_put(p, data_sharding(mesh, p.ndim))
+                     for p in parts]
+            hp = [jax.device_put(p, data_sharding(mesh, p.ndim)) for p in hp]
+            if orc is not None:
+                orc = jax.device_put(orc, data_sharding(mesh, orc.ndim))
+        k_chunk = jax.random.fold_in(key, start)
+        xf, trace = sampler(parts[0], parts[1], parts[2], parts[3], k_chunk,
+                            hp[0], hp[1], orc)
+        # transfer as real/imag stack: complex64 host transfers are not
+        # supported on the experimental TPU tunnel backend
+        xf_ri = jax.device_get(jnp.stack([jnp.real(xf), jnp.imag(xf)]))
+        finals.append((np.asarray(xf_ri[0]) +
+                       1j * np.asarray(xf_ri[1])).astype(np.complex64)[:n_valid])
+        if trace is not None:
+            traces.append(np.asarray(jax.device_get(trace))[:, :n_valid])
+    x_final = np.concatenate(finals, axis=0)
+    nmse_log = np.concatenate(traces, axis=1) if traces else None
+    return x_final, nmse_log
+
+
+@dataclasses.dataclass
+class EstimationResults:
+    """Mirror of the reference results.pt dict (test_score.py:192-200)."""
+
+    nmse_log: np.ndarray  # (n_spacing, n_alpha, n_snr, n_steps, n_channels)
+    avg_nmse: np.ndarray  # mean over channels
+    best_nmse: np.ndarray  # min over steps (n_spacing, n_alpha, n_snr)
+    snr_range: np.ndarray
+    spacing_range: np.ndarray
+    pilot_alpha_range: np.ndarray
+
+    def best_nmse_db(self) -> np.ndarray:
+        return 10.0 * np.log10(self.best_nmse)
+
+    def save(self, path: str) -> None:
+        import os
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        np.savez(path, **dataclasses.asdict(self))
+
+    @classmethod
+    def load(cls, path: str) -> "EstimationResults":
+        with np.load(path) as f:
+            return cls(**{k: f[k] for k in f.files})
+
+
+def run_snr_sweep(
+    score_fn,
+    config: Config,
+    val_dataset: ChannelDataset,
+    snr_range: np.ndarray,
+    key: Array,
+    num_channels: int = 100,
+    alpha_step=None,
+    beta_noise=None,
+    chunk_size: Optional[int] = None,
+    mesh=None,
+) -> np.ndarray:
+    """One (spacing, pilot_alpha) sweep → nmse (n_snr, n_steps, n_channels).
+
+    Reproduces test_score.py:107-171 semantics: channels fixed across SNR,
+    Langevin init fixed across SNR (test_score.py:115,126), fresh
+    measurement noise per SNR, per-step NMSE trace.
+
+    alpha_step/beta_noise: scalar, or per-SNR arrays (n_snr,) for
+    known-SNR tuned inference (tune_hparams_score.py:155-162 output).
+    """
+    cfg = config
+    sigmas = sigmas_from_config(cfg.model)
+    sampling = cfg.sampling
+    alpha_step = (sampling.alpha_step if alpha_step is None else alpha_step)
+    beta_noise = (sampling.beta_noise if beta_noise is None else beta_noise)
+
+    k_pilot, k_init, k_meas, k_run = jax.random.split(key, 4)
+
+    X = val_dataset.hermitian(normalized=True)[:num_channels]  # (C,Nt,Nr)
+    C = X.shape[0]
+    P = physics.qpsk_pilots(k_pilot, C, cfg.data.num_tx,
+                            val_dataset.num_pilots)
+    A = physics.pilot_operator(P)  # (C,Np,Nt)
+    x_init = physics.crandn(k_init, X.shape)  # same init ∀ SNR
+
+    S = len(snr_range)
+    noise_powers = np.asarray(
+        physics.snr_to_noise_power(np.asarray(snr_range), cfg.data.num_tx))
+
+    # flatten SNR × channels into one batch
+    A_b = jnp.tile(A, (S, 1, 1))
+    X_b = jnp.tile(X, (S, 1, 1))
+    x0_b = jnp.tile(x_init, (S, 1, 1))
+    npow_b = jnp.repeat(jnp.asarray(noise_powers, jnp.float32), C)
+    al_b = (jnp.repeat(jnp.asarray(alpha_step, jnp.float32), C)
+            if np.ndim(alpha_step) else jnp.full((S * C,), alpha_step))
+    be_b = (jnp.repeat(jnp.asarray(beta_noise, jnp.float32), C)
+            if np.ndim(beta_noise) else jnp.full((S * C,), beta_noise))
+
+    Y_b = physics.measure(k_meas, A_b, X_b, npow_b)
+
+    _, trace = langevin_chunked(
+        score_fn, A_b, Y_b, sigmas, npow_b, x0_b, k_run,
+        al_b, be_b, steps_each=sampling.steps_each, oracle=X_b,
+        chunk_size=chunk_size, mesh=mesh)
+    # (L·steps, S·C) → (S, steps, C)
+    n_steps = trace.shape[0]
+    return np.transpose(trace.reshape(n_steps, S, C), (1, 0, 2))
+
+
+def run_estimation(
+    score_fn,
+    config: Config,
+    train_profile: str = "CDL-C",
+    test_profile: str = "CDL-C",
+    snr_range: Optional[np.ndarray] = None,
+    spacing_range: Sequence[float] = (0.5,),
+    pilot_alpha_range: Sequence[float] = (0.6,),
+    num_channels: int = 100,
+    train_seed: int = 1234,
+    val_seed: int = 4321,
+    seed: int = 2023,
+    alpha_step=None,
+    beta_noise=None,
+    chunk_size: Optional[int] = None,
+    mesh=None,
+) -> EstimationResults:
+    """Full test_score.py reproduction incl. cross-distribution (OOD) eval.
+
+    train_profile fixes normalization stats (test_score.py:68-69);
+    test_profile selects the evaluated channel distribution
+    (test_score.py:97-101) — e.g. train CDL-C, test CDL-A/B/D.
+    """
+    if snr_range is None:
+        snr_range = np.arange(-10, 32.5, 2.5)  # test_score.py:72
+    snr_range = np.asarray(snr_range, np.float64)
+
+    # train stats for normalization
+    train_cfg = dataclasses.replace(config.data, channel=train_profile)
+    train_ds = ChannelDataset(train_seed, train_cfg,
+                              norm=config.data.norm_channels)
+
+    n_sp, n_al, S = len(spacing_range), len(pilot_alpha_range), len(snr_range)
+    n_steps = config.model.num_classes * config.sampling.steps_each
+    nmse_log = np.zeros((n_sp, n_al, S, n_steps, num_channels), np.float32)
+
+    key = jax.random.key(seed)
+    for i_sp, spacing in enumerate(spacing_range):
+        for i_al, pilot_alpha in enumerate(pilot_alpha_range):
+            num_pilots = int(np.floor(config.data.num_tx * pilot_alpha))
+            val_cfg = dataclasses.replace(
+                config.data, channel=test_profile, spacing_list=(spacing,),
+                num_channels=max(num_channels, config.data.num_channels))
+            val_ds = ChannelDataset(val_seed, val_cfg,
+                                    norm=list(train_ds.norm_stats),
+                                    num_pilots=num_pilots)
+            k = jax.random.fold_in(key, i_sp * n_al + i_al)
+            nmse_log[i_sp, i_al] = run_snr_sweep(
+                score_fn, config, val_ds, snr_range, k,
+                num_channels=num_channels, alpha_step=alpha_step,
+                beta_noise=beta_noise, chunk_size=chunk_size, mesh=mesh)
+
+    avg = nmse_log.mean(axis=-1)  # test_score.py:174
+    best = avg.min(axis=-1)  # test_score.py:175
+    return EstimationResults(
+        nmse_log=nmse_log, avg_nmse=avg, best_nmse=best,
+        snr_range=snr_range, spacing_range=np.asarray(spacing_range),
+        pilot_alpha_range=np.asarray(pilot_alpha_range))

@@ -1,0 +1,149 @@
+"""Hyper-parameter grid search (reference tune_hparams_score.py redesigned).
+
+The reference runs the (α_step × β_noise) grid as sequential host loops —
+12 combos × 17 SNRs × 6933 steps of separate GPU work
+(tune_hparams_score.py:68-148). Here the grid is just MORE BATCH: each
+(α, β, SNR, channel) tuple is one row of a flattened batch with per-sample
+hyper-parameters, swept in one (chunked, optionally mesh-sharded) scan.
+Per-SNR argmin selection reproduces tune_hparams_score.py:150-162.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import physics
+from ..config import Config
+from ..data.dataset import ChannelDataset
+from ..diffusion.sigmas import sigmas_from_config
+from .estimate import langevin_chunked
+
+Array = jax.Array
+
+
+@dataclasses.dataclass
+class TuneResults:
+    """Mirror of the reference `<ch>-hyperparameters.pt`
+    (tune_hparams_score.py:180-189)."""
+
+    nmse_log: np.ndarray  # (n_alpha, n_beta, n_snr, n_steps, n_channels)
+    avg_nmse: np.ndarray
+    best_nmse: np.ndarray  # (n_alpha, n_beta, n_snr)
+    best_alpha_snr: np.ndarray  # (n_snr,)
+    best_beta_snr: np.ndarray  # (n_snr,)
+    best_step_snr: np.ndarray  # (n_snr,) argmin step index of the best combo
+    snr_range: np.ndarray
+    alpha_step_range: np.ndarray
+    beta_noise_range: np.ndarray
+
+    def save(self, path: str) -> None:
+        import os
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        np.savez(path, **dataclasses.asdict(self))
+
+    @classmethod
+    def load(cls, path: str) -> "TuneResults":
+        with np.load(path) as f:
+            return cls(**{k: f[k] for k in f.files})
+
+
+def run_hparam_search(
+    score_fn,
+    config: Config,
+    channel: str = "CDL-C",
+    snr_range: Optional[np.ndarray] = None,
+    alpha_step_range: Sequence[float] = (3e-11, 6e-11, 1e-10, 3e-10),
+    beta_noise_range: Sequence[float] = (0.1, 0.01, 0.001),
+    spacing: float = 0.5,
+    pilot_alpha: float = 0.6,
+    num_channels: int = 100,
+    train_seed: int = 1234,
+    val_seed: int = 4321,
+    seed: int = 2023,
+    chunk_size: Optional[int] = None,
+    mesh=None,
+) -> TuneResults:
+    """Grid defaults follow tune_hparams_score.py:20-24."""
+    if snr_range is None:
+        snr_range = np.arange(-10, 32.5, 2.5)
+    snr_range = np.asarray(snr_range, np.float64)
+    alphas = np.asarray(alpha_step_range, np.float64)
+    betas = np.asarray(beta_noise_range, np.float64)
+
+    train_cfg = dataclasses.replace(config.data, channel=channel)
+    train_ds = ChannelDataset(train_seed, train_cfg,
+                              norm=config.data.norm_channels)
+    num_pilots = int(np.floor(config.data.num_tx * pilot_alpha))
+    val_cfg = dataclasses.replace(
+        config.data, channel=channel, spacing_list=(spacing,),
+        num_channels=max(num_channels, config.data.num_channels))
+    val_ds = ChannelDataset(val_seed, val_cfg, norm=list(train_ds.norm_stats),
+                            num_pilots=num_pilots)
+
+    sigmas = sigmas_from_config(config.model)
+    key = jax.random.key(seed)
+    k_pilot, k_init, k_meas, k_run = jax.random.split(key, 4)
+
+    X = val_ds.hermitian(normalized=True)[:num_channels]
+    C = X.shape[0]
+    P = physics.qpsk_pilots(k_pilot, C, config.data.num_tx, num_pilots)
+    A = physics.pilot_operator(P)
+    x_init = physics.crandn(k_init, X.shape)  # shared across all combos/SNR
+
+    nA, nB, S = len(alphas), len(betas), len(snr_range)
+    noise_powers = np.asarray(
+        physics.snr_to_noise_power(snr_range, config.data.num_tx), np.float32)
+
+    # one (SNR × channels) measurement set shared across the (α, β) grid —
+    # the reference regenerates noise per combo; sharing it removes
+    # measurement-noise variance from the comparison (strictly better for
+    # hyper-parameter selection, same expectation)
+    A_sc = jnp.tile(A, (S, 1, 1))
+    X_sc = jnp.tile(X, (S, 1, 1))
+    x0_sc = jnp.tile(x_init, (S, 1, 1))
+    npow_sc = jnp.repeat(jnp.asarray(noise_powers), C)
+    Y_sc = physics.measure(k_meas, A_sc, X_sc, npow_sc)
+
+    G = nA * nB  # grid combos
+    reps = (G, 1, 1)
+    A_b, X_b, x0_b, Y_b = (jnp.tile(t, reps) for t in (A_sc, X_sc, x0_sc, Y_sc))
+    npow_b = jnp.tile(npow_sc, (G,))
+    combo_alpha = np.repeat(alphas, nB)  # combo index g = iA*nB + iB
+    combo_beta = np.tile(betas, nA)
+    al_b = jnp.repeat(jnp.asarray(combo_alpha, jnp.float32), S * C)
+    be_b = jnp.repeat(jnp.asarray(combo_beta, jnp.float32), S * C)
+
+    _, trace = langevin_chunked(
+        score_fn, A_b, Y_b, sigmas, npow_b, x0_b, k_run, al_b, be_b,
+        steps_each=config.sampling.steps_each, oracle=X_b,
+        chunk_size=chunk_size, mesh=mesh)
+    n_steps = trace.shape[0]
+    nmse_log = np.transpose(
+        trace.reshape(n_steps, nA, nB, S, C), (1, 2, 3, 0, 4))
+
+    avg = nmse_log.mean(axis=-1)
+    best = avg.min(axis=-1)  # (nA, nB, S)
+    best_step = avg.argmin(axis=-1)  # (nA, nB, S)
+
+    # per-SNR best combo (tune_hparams_score.py:155-162)
+    best_alpha_snr = np.zeros(S)
+    best_beta_snr = np.zeros(S)
+    best_step_snr = np.zeros(S, np.int64)
+    for s in range(S):
+        flat = best[..., s].ravel()
+        iA, iB = np.unravel_index(int(np.argmin(flat)), (nA, nB))
+        best_alpha_snr[s] = alphas[iA]
+        best_beta_snr[s] = betas[iB]
+        best_step_snr[s] = best_step[iA, iB, s]
+
+    return TuneResults(
+        nmse_log=nmse_log, avg_nmse=avg, best_nmse=best,
+        best_alpha_snr=best_alpha_snr, best_beta_snr=best_beta_snr,
+        best_step_snr=best_step_snr, snr_range=snr_range,
+        alpha_step_range=alphas, beta_noise_range=betas)

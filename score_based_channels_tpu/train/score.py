@@ -1,0 +1,216 @@
+"""Data-parallel DSM trainer for the score network.
+
+TPU rethink of reference train_score.py:145-208:
+  - one jitted train step (DSM loss → Adam(eps=1e-3) → EMA) with donated
+    state; batch sharded over the ('data',) mesh, params replicated — XLA
+    inserts the gradient all-reduce,
+  - EMA is a shadow pytree in the train state (no model rebuild per
+    validation round, unlike reference ema.py:30-41),
+  - validation DSM on the EMA shadow every `log_every_steps`
+    (train_score.py:176-196),
+  - checkpoint keeps config + losses (train_score.py:211-216).
+
+Recipe parity: batch 32, 400 epochs, Adam lr=1e-4 eps=1e-3, EMA 0.999,
+anneal_power 2, geometric σ (train_score.py:34-67, 98-101).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..config import Config
+from ..data.dataset import ChannelDataset
+from ..diffusion.dsm import anneal_dsm_loss
+from ..diffusion.ema import ema_init, ema_update
+from ..diffusion.sigmas import sigmas_from_config
+from ..models import make_score_model
+from ..parallel.mesh import data_sharding, make_mesh, replicate, shard_batch
+from ..utils.checkpoint import save_checkpoint
+
+Array = jax.Array
+
+
+class ScoreTrainState(struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    ema_params: Any
+    step: Array
+
+
+def make_optimizer(optim_cfg) -> optax.GradientTransformation:
+    """Optimizer factory (reference ncsnv2/losses/__init__.py:3-13)."""
+    name = optim_cfg.optimizer.lower()
+    if name == "adam":
+        # torch Adam semantics: eps OUTSIDE the sqrt; optax.adam matches.
+        tx = optax.adam(optim_cfg.lr, b1=optim_cfg.beta1, b2=optim_cfg.beta2,
+                        eps=optim_cfg.eps)
+        if optim_cfg.weight_decay:
+            tx = optax.chain(
+                optax.add_decayed_weights(optim_cfg.weight_decay), tx)
+        if optim_cfg.amsgrad:
+            tx = optax.amsgrad(optim_cfg.lr, b1=optim_cfg.beta1,
+                               b2=optim_cfg.beta2, eps=optim_cfg.eps)
+        return tx
+    if name == "rmsprop":
+        return optax.rmsprop(optim_cfg.lr, decay=0.99, eps=1e-8)
+    if name == "sgd":
+        return optax.sgd(optim_cfg.lr, momentum=0.9)
+    raise NotImplementedError(f"Optimizer {optim_cfg.optimizer} not understood.")
+
+
+def make_score_train_step(
+    model, tx: optax.GradientTransformation, sigmas: Array,
+    ema_rate: float, anneal_power: float,
+) -> Callable:
+    """Build the jitted (state, x, key) → (state, loss) step."""
+
+    def apply_fn(params, x, used_sigmas):
+        return model.apply({"params": params}, x, used_sigmas)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: ScoreTrainState, x: Array, key: Array):
+        def loss_fn(params):
+            return anneal_dsm_loss(apply_fn, params, x, sigmas, key,
+                                   anneal_power=anneal_power)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema_params = ema_update(state.ema_params, params, ema_rate)
+        return (
+            ScoreTrainState(params=params, opt_state=opt_state,
+                            ema_params=ema_params, step=state.step + 1),
+            loss,
+        )
+
+    return train_step
+
+
+def make_eval_loss(model, sigmas: Array, anneal_power: float) -> Callable:
+    def apply_fn(params, x, used_sigmas):
+        return model.apply({"params": params}, x, used_sigmas)
+
+    @jax.jit
+    def eval_loss(params, x, key):
+        return anneal_dsm_loss(apply_fn, params, x, sigmas, key,
+                               anneal_power=anneal_power)
+
+    return eval_loss
+
+
+class ScoreTrainer:
+    """Full training run orchestrator (reference train_score.py recipe)."""
+
+    def __init__(self, config: Config, use_mesh: bool = True,
+                 num_devices: Optional[int] = None):
+        self.config = config
+        self.model = make_score_model(config.model, config.data.channels)
+        self.sigmas = sigmas_from_config(config.model)
+        self.tx = make_optimizer(config.optim)
+        self.mesh = (make_mesh(num_devices)
+                     if use_mesh and config.training.data_parallel else None)
+        self.train_step = make_score_train_step(
+            self.model, self.tx, self.sigmas, config.model.ema_rate,
+            config.training.anneal_power)
+        self.eval_loss = make_eval_loss(
+            self.model, self.sigmas, config.training.anneal_power)
+
+    def init_state(self, key: Array) -> ScoreTrainState:
+        sample = jnp.zeros(
+            (1, self.config.data.num_tx, self.config.data.num_rx,
+             self.config.data.channels), jnp.float32)
+        params = self.model.init(key, sample, jnp.float32(1.0))["params"]
+        state = ScoreTrainState(
+            params=params,
+            opt_state=self.tx.init(params),
+            ema_params=ema_init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+        if self.mesh is not None:
+            state = jax.device_put(state, replicate(self.mesh))
+        return state
+
+    def _shard(self, x: Array) -> Array:
+        if self.mesh is None:
+            return x
+        n_dev = self.mesh.devices.size
+        if x.shape[0] % n_dev != 0:
+            # non-divisible batches (e.g. the fixed validation set) are
+            # replicated — correctness over marginal layout efficiency
+            return jax.device_put(x, replicate(self.mesh))
+        return jax.device_put(x, data_sharding(self.mesh, x.ndim))
+
+    def train(
+        self,
+        train_seed: int = 1234,
+        val_seed: int = 4321,
+        rng_seed: Optional[int] = None,
+        checkpoint_path: Optional[str] = None,
+        n_epochs: Optional[int] = None,
+        log_fn: Callable[[str], None] = print,
+    ) -> Tuple[ScoreTrainState, dict]:
+        cfg = self.config
+        n_epochs = n_epochs if n_epochs is not None else cfg.training.n_epochs
+        rng_seed = rng_seed if rng_seed is not None else cfg.training.seed
+
+        # datasets: train stats normalize validation (train_score.py:84)
+        train_ds = ChannelDataset(train_seed, cfg, norm=cfg.data.norm_channels)
+        val_ds = ChannelDataset(val_seed, cfg, norm=list(train_ds.norm_stats))
+        x_train = np.asarray(train_ds.network_input())
+        x_val = self._shard(val_ds.network_input())
+
+        key = jax.random.key(rng_seed)
+        key, k_init = jax.random.split(key)
+        state = self.init_state(k_init)
+
+        batch = cfg.training.batch_size
+        n = x_train.shape[0]
+        steps_per_epoch = n // batch  # drop_last=True (train_score.py:75)
+        train_loss_log, val_loss_log = [], []
+        running = None
+        t0 = time.time()
+
+        for epoch in range(n_epochs):
+            key, k_perm = jax.random.split(key)
+            perm = np.asarray(jax.random.permutation(k_perm, n))
+            for i in range(steps_per_epoch):
+                idx = perm[i * batch:(i + 1) * batch]
+                x = self._shard(jnp.asarray(x_train[idx]))
+                key, k_step = jax.random.split(key)
+                state, loss = self.train_step(state, x, k_step)
+                step = int(state.step)
+                loss_f = float(loss)
+                running = (loss_f if running is None
+                           else 0.99 * running + 0.01 * loss_f)
+                train_loss_log.append(loss_f)
+                if step % cfg.training.log_every_steps == 0:
+                    key, k_val = jax.random.split(key)
+                    v = float(self.eval_loss(state.ema_params, x_val, k_val))
+                    val_loss_log.append(v)
+                    log_fn(
+                        f"Epoch {epoch}, Step {step}, "
+                        f"Train Loss (EMA) {running:.3f}, Val. Loss {v:.3f}, "
+                        f"{step / (time.time() - t0):.2f} steps/s")
+
+        logs = {"train_loss": np.asarray(train_loss_log),
+                "val_loss": np.asarray(val_loss_log),
+                "norm_stats": np.asarray([np.real(train_ds.mean),
+                                          float(train_ds.std)])}
+        if checkpoint_path:
+            save_checkpoint(
+                checkpoint_path, cfg,
+                params=state.params, ema_params=state.ema_params,
+                opt_state_leaves=jax.tree_util.tree_leaves(state.opt_state),
+                extra_arrays=logs,
+                metadata={"steps": int(state.step)})
+            log_fn(f"saved checkpoint to {checkpoint_path}")
+        return state, logs

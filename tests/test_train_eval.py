@@ -1,0 +1,128 @@
+"""Trainer + eval-harness integration at tiny settings."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from score_based_channels_tpu.config import (
+    Config, DataConfig, ModelConfig, SamplingConfig, TrainingConfig,
+)
+from score_based_channels_tpu.eval import (
+    run_estimation, run_hparam_search, score_fn_from_params,
+)
+from score_based_channels_tpu.models import make_score_model
+from score_based_channels_tpu.train import ScoreTrainer
+from score_based_channels_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+
+def tiny_config(num_classes=12, ngf=8, num_channels=16) -> Config:
+    cfg = Config(
+        model=ModelConfig(ngf=ngf, num_classes=num_classes),
+        training=TrainingConfig(batch_size=8, n_epochs=2, log_every_steps=2),
+        data=DataConfig(num_channels=num_channels),
+        sampling=SamplingConfig(),
+    )
+    return cfg
+
+
+def test_trainer_runs_and_checkpoints(tmp_path):
+    cfg = tiny_config()
+    trainer = ScoreTrainer(cfg, use_mesh=False)
+    path = str(tmp_path / "ckpt.npz")
+    logs_seen = []
+    state, logs = trainer.train(checkpoint_path=path,
+                                log_fn=lambda s: logs_seen.append(s))
+    assert int(state.step) == 2 * (16 // 8)
+    assert np.all(np.isfinite(logs["train_loss"]))
+    assert len(logs["val_loss"]) >= 1
+
+    ck = load_checkpoint(path)
+    assert ck["config"].model.ngf == cfg.model.ngf
+    # params round-trip exactly
+    flat_a = jax.tree_util.tree_leaves(state.params)
+    flat_b = jax.tree_util.tree_leaves(ck["params"])
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert ck["ema"] is not None
+
+
+def test_trainer_data_parallel_matches_single_device():
+    cfg = tiny_config()
+    t1 = ScoreTrainer(cfg, use_mesh=False)
+    t8 = ScoreTrainer(cfg, use_mesh=True)  # 8 virtual CPU devices
+    s1, logs1 = t1.train(n_epochs=1, log_fn=lambda s: None)
+    s8, logs8 = t8.train(n_epochs=1, log_fn=lambda s: None)
+    np.testing.assert_allclose(logs1["train_loss"], logs8["train_loss"],
+                               rtol=5e-3, atol=1e-4)
+
+
+def test_ema_differs_from_params_after_training():
+    cfg = tiny_config()
+    trainer = ScoreTrainer(cfg, use_mesh=False)
+    state, _ = trainer.train(n_epochs=1, log_fn=lambda s: None)
+    pa = jax.tree_util.tree_leaves(state.params)
+    ea = jax.tree_util.tree_leaves(state.ema_params)
+    diffs = [float(jnp.max(jnp.abs(a - b))) for a, b in zip(pa, ea)]
+    assert max(diffs) > 0  # EMA lags params
+
+
+def test_eval_harness_shapes_and_layout():
+    cfg = tiny_config(num_classes=6)
+    model = make_score_model(cfg.model)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 64, 16, 2)),
+                        jnp.float32(1.0))["params"]
+    score_fn = score_fn_from_params(model, params)
+    res = run_estimation(
+        score_fn, cfg, snr_range=np.array([0.0, 20.0]),
+        pilot_alpha_range=(0.6, 1.0), num_channels=4, chunk_size=None)
+    S, steps = 2, 6 * cfg.sampling.steps_each
+    assert res.nmse_log.shape == (1, 2, S, steps, 4)
+    assert res.avg_nmse.shape == (1, 2, S, steps)
+    assert res.best_nmse.shape == (1, 2, S)
+    assert np.all(np.isfinite(res.best_nmse))
+    # best over steps really is the min of avg
+    np.testing.assert_allclose(res.best_nmse, res.avg_nmse.min(-1))
+
+
+def test_eval_chunking_invariance():
+    """Chunked execution must give identical results to one-shot."""
+    cfg = tiny_config(num_classes=5)
+    zero = lambda x, s: jnp.zeros_like(x)
+    kwargs = dict(snr_range=np.array([10.0]), num_channels=6, seed=11)
+    a = run_estimation(zero, cfg, **kwargs, chunk_size=None)
+    b = run_estimation(zero, cfg, **kwargs, chunk_size=4)
+    np.testing.assert_allclose(a.nmse_log, b.nmse_log, rtol=1e-5, atol=1e-7)
+
+
+def test_tuner_grid_selection():
+    cfg = tiny_config(num_classes=5)
+    zero = lambda x, s: jnp.zeros_like(x)
+    res = run_hparam_search(
+        zero, cfg, snr_range=np.array([0.0, 30.0]),
+        alpha_step_range=(3e-11, 3e-6), beta_noise_range=(0.01, 0.0),
+        num_channels=4)
+    assert res.nmse_log.shape == (2, 2, 2, 15, 4)
+    assert res.best_alpha_snr.shape == (2,)
+    assert set(res.best_alpha_snr) <= {3e-11, 3e-6}
+    assert set(res.best_beta_snr) <= {0.01, 0.0}
+    # selection really is the per-SNR argmin over the grid
+    np.testing.assert_allclose(res.best_nmse, res.avg_nmse.min(-1))
+    for s in range(2):
+        iA = list(res.alpha_step_range).index(res.best_alpha_snr[s])
+        iB = list(res.beta_noise_range).index(res.best_beta_snr[s])
+        assert res.best_nmse[iA, iB, s] == res.best_nmse[..., s].min()
+        assert res.best_step_snr[s] == res.avg_nmse[iA, iB, s].argmin()
+
+
+def test_mesh_sharded_eval_matches():
+    from score_based_channels_tpu.parallel import make_mesh
+
+    cfg = tiny_config(num_classes=4)
+    zero = lambda x, s: jnp.zeros_like(x)
+    kwargs = dict(snr_range=np.array([10.0]), num_channels=8, seed=3)
+    a = run_estimation(zero, cfg, **kwargs)
+    b = run_estimation(zero, cfg, **kwargs, mesh=make_mesh())
+    np.testing.assert_allclose(a.nmse_log, b.nmse_log, rtol=1e-5, atol=1e-7)
