@@ -302,10 +302,17 @@ def generate_cdl_channels(
     The per-realization reseed follows genChannels.m:34-37's
     seed·(N+idx) convention in spirit via key folding.
     """
-    base = jax.random.key(seed)
-    keys = jax.random.split(jax.random.fold_in(base, hash(profile) % (2**31)),
-                            num_channels)
-    gen = jax.vmap(lambda k: _generate_one(
-        k, profile, num_rx, num_tx, spacing, delay_spread_s,
-        subcarrier_hz, num_subcarriers, subcarrier_gap))
-    return np.asarray(jax.device_get(gen(keys)))
+    # Host-side generation: the CDL math is complex-valued, which the TPU
+    # backend rejects; data generation is the host data-loading layer anyway
+    # (the dataset is ~MBs and is produced once per run).
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        import zlib
+
+        base = jax.random.key(seed)  # profile folded in with a STABLE hash
+        keys = jax.random.split(
+            jax.random.fold_in(base, zlib.crc32(profile.encode()) % (2**31)),
+            num_channels)
+        gen = jax.vmap(lambda k: _generate_one(
+            k, profile, num_rx, num_tx, spacing, delay_spread_s,
+            subcarrier_hz, num_subcarriers, subcarrier_gap))
+        return np.asarray(jax.device_get(gen(keys)))

@@ -121,19 +121,28 @@ class ChannelDataset:
     # batched device-side views
     # ------------------------------------------------------------------
 
-    def normalized(self) -> Array:
-        """(N, Nr, Nt) complex64, (H − mean)/std (loaders.py:68-69)."""
-        return jnp.asarray((self.channels - self.mean) / self.std,
-                           jnp.complex64)
+    def normalized(self) -> np.ndarray:
+        """(N, Nr, Nt) complex64 HOST array, (H − mean)/std (loaders.py:68-69).
 
-    def hermitian(self, normalized: bool = True) -> Array:
-        """H^H → (N, Nt, Nr) complex64 (loaders.py:88-89)."""
-        h = self.normalized() if normalized else jnp.asarray(self.channels)
-        return jnp.conj(jnp.swapaxes(h, -1, -2))
+        Complex math stays on the host: the TPU backend has no complex
+        support (see cplx.py); device work uses the c2 views below.
+        """
+        return ((self.channels - self.mean) / self.std).astype(np.complex64)
+
+    def hermitian(self, normalized: bool = True) -> np.ndarray:
+        """H^H → (N, Nt, Nr) complex64 host array (loaders.py:88-89)."""
+        h = self.normalized() if normalized else self.channels
+        return np.conj(np.swapaxes(h, -1, -2))
+
+    def hermitian_c2(self, normalized: bool = True) -> Array:
+        """H^H in c2 → (N, Nt, Nr, 2) float32 device array."""
+        from .. import cplx
+
+        return cplx.from_complex(self.hermitian(normalized=normalized))
 
     def network_input(self) -> Array:
         """(N, Nt, Nr, 2) float32 NHWC — the score-net view (loaders.py:90-91)."""
-        return complex_to_nhwc(self.hermitian(normalized=True))
+        return self.hermitian_c2(normalized=True)
 
     def sample_batch(self, key: Array, batch_size: Optional[int] = None,
                      with_measurements: bool = True) -> dict:
@@ -151,6 +160,12 @@ class ChannelDataset:
           sigma_n     ()              per-component noise amplitude
           idx         (B,)            realization indices
         """
+        # complex math pinned to the host CPU backend — the TPU rejects
+        # complex dtypes (cplx.py); downstream device work converts to c2
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            return self._sample_batch_cpu(key, batch_size, with_measurements)
+
+    def _sample_batch_cpu(self, key, batch_size, with_measurements) -> dict:
         n = len(self)
         k_idx, k_pilot, k_noise = jax.random.split(key, 3)
         if batch_size is None:

@@ -4,5 +4,6 @@ from .ema import ema_init, ema_update  # noqa: F401
 from .sampling import (  # noqa: F401
     LangevinHParams,
     annealed_langevin_posterior,
+    annealed_langevin_posterior_c2,
     annealed_langevin_unconditional,
 )

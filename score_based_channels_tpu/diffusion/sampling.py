@@ -8,6 +8,11 @@ over σ-levels with a statically unrolled inner loop, so the entire
 and the per-step NMSE trace (the paper's stopping-rule mechanism,
 test_score.py:174-175) is carried device-side as scan outputs.
 
+TPU-native number system: all state is c2 (real/imag pairs, see cplx.py)
+— the TPU has no complex arithmetic, and c2 is also exactly the score
+network's input layout, so the state feeds the network with zero
+conversions. A complex64 convenience wrapper is provided for CPU use.
+
 Update rule (test_score.py:143-165, Algorithm 1 of the paper):
   α_i      = α_step · (σ_i/σ_end)²
   x ← x + α_i·( s_θ(x, σ_i) − Aᴴ(Ax−y)/(noise/2 + σ_i²) ) + √(2·α_i·β)·z
@@ -21,13 +26,12 @@ loops (tune_hparams_score.py:68-71, test_score.py:118).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Callable, NamedTuple, Optional, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from ..physics import complex_to_nhwc, crandn, nhwc_to_complex
+from .. import cplx
 
 Array = jax.Array
 
@@ -49,7 +53,7 @@ def _bcast(v: Array, ndim: int) -> Array:
     return v.reshape(v.shape + (1,) * (ndim - v.ndim))
 
 
-def annealed_langevin_posterior(
+def annealed_langevin_posterior_c2(
     score_fn: Callable[[Array, Array], Array],
     A: Array,
     Y: Array,
@@ -62,53 +66,54 @@ def annealed_langevin_posterior(
     steps_each: int = 3,
     oracle: Optional[Array] = None,
 ) -> Tuple[Array, Optional[Array]]:
-    """Run the full annealed-Langevin posterior schedule in one scan.
+    """Run the full annealed-Langevin posterior schedule in one scan (c2).
 
     Args:
-      score_fn: (x_nhwc (B,Nt,Nr,2), sigma ()) -> score (B,Nt,Nr,2); the
-        network output is already divided by σ (ncsnv2.py:295-298).
-      A: (B, Np, Nt) complex pilot operator P̄ᵀ.
-      Y: (B, Np, Nr) complex measurements.
+      score_fn: (x (B,Nt,Nr,2), sigma ()) -> score (B,Nt,Nr,2); the network
+        output is already divided by σ (ncsnv2.py:295-298). The c2 state IS
+        the network's NHWC input.
+      A: (B, Np, Nt, 2) pilot operator P̄ᵀ in c2.
+      Y: (B, Np, Nr, 2) measurements in c2.
       sigmas: (L,) σ-schedule; sigmas[-1] is σ_end.
-      noise_power: scalar or (B,) measurement noise power.
-      x_init: (B, Nt, Nr) complex initialization (reference: unit complex
+      noise_power: scalar or (B,) measurement noise power (real).
+      x_init: (B, Nt, Nr, 2) initialization (reference: unit complex
         Gaussian, test_score.py:115).
-      alpha_step, beta_noise: scalar or (B,) — per-sample hyper-parameters.
-      steps_each: inner steps per σ-level (static; unrolled inside the scan).
-      oracle: optional (B, Nt, Nr) ground truth; when given, the per-step
-        NMSE trace is returned as (L·steps_each, B), matching the
-        reference's nmse_log axis order (test_score.py:168-171).
+      alpha_step, beta_noise: scalar or (B,) per-sample hyper-parameters.
+      steps_each: inner steps per σ-level (static; unrolled in the scan body).
+      oracle: optional (B, Nt, Nr, 2) ground truth; when given, the
+        per-step NMSE trace is returned as (L·steps_each, B) matching the
+        reference's nmse_log layout (test_score.py:168-171).
 
     Returns:
-      (x_final, nmse_log or None)
+      (x_final (B,Nt,Nr,2), nmse_log or None)
     """
     sigma_end = sigmas[-1]
-    Ah = jnp.conj(jnp.swapaxes(A, -1, -2))
-    np_b = _bcast(noise_power, x_init.ndim)
-    alpha_b = _bcast(alpha_step, x_init.ndim)
-    beta_b = _bcast(beta_noise, x_init.ndim)
+    Ah = cplx.conj_transpose(A)
+    mat_ndim = x_init.ndim - 1  # broadcast rank for real per-sample scalars
+    np_b = _bcast(noise_power, mat_ndim)
+    alpha_b = _bcast(alpha_step, mat_ndim)
+    beta_b = _bcast(beta_noise, mat_ndim)
 
     track = oracle is not None
     if track:
-        oracle_energy = jnp.sum(jnp.abs(oracle) ** 2, axis=(-1, -2))
+        oracle_energy = cplx.sum_abs2(oracle, axis=(-1, -2))
 
     def level_step(carry, sigma):
         x, k = carry
         alpha = alpha_b * (sigma / sigma_end) ** 2
-        denom = (np_b / 2.0 + sigma**2).astype(jnp.float32)
+        denom = np_b / 2.0 + sigma**2
+        coef = alpha / denom
+        noise_scale = jnp.sqrt(2.0 * alpha * beta_b)
         nmses = []
         for _ in range(steps_each):
             k, k_noise = jax.random.split(k)
-            score = nhwc_to_complex(score_fn(complex_to_nhwc(x), sigma))
-            meas_grad = Ah @ (A @ x - Y)
-            z = crandn(k_noise, x.shape)
-            x = (
-                x
-                + (alpha * (score - meas_grad / denom)).astype(x.dtype)
-                + (jnp.sqrt(2.0 * alpha * beta_b) * z).astype(x.dtype)
-            )
+            score = score_fn(x, sigma)
+            meas_grad = cplx.matmul(Ah, cplx.matmul(A, x) - Y)
+            z = cplx.randn(k_noise, x.shape[:-1])
+            x = (x + cplx.scale(score, alpha) - cplx.scale(meas_grad, coef)
+                 + cplx.scale(z, noise_scale))
             if track:
-                err = jnp.sum(jnp.abs(x - oracle) ** 2, axis=(-1, -2))
+                err = cplx.sum_abs2(x - oracle, axis=(-1, -2))
                 nmses.append((err / oracle_energy).astype(jnp.float32))
         ys = jnp.stack(nmses) if track else None
         return (x, k), ys
@@ -118,6 +123,34 @@ def annealed_langevin_posterior(
         L, S, B = nmse_levels.shape
         return x_final, nmse_levels.reshape(L * S, B)
     return x_final, None
+
+
+def annealed_langevin_posterior(
+    score_fn_c2: Callable[[Array, Array], Array],
+    A: Array,
+    Y: Array,
+    sigmas: Array,
+    noise_power: Array,
+    x_init: Array,
+    key: Array,
+    alpha_step: Array = 3e-11,
+    beta_noise: Array = 0.01,
+    steps_each: int = 3,
+    oracle: Optional[Array] = None,
+) -> Tuple[Array, Optional[Array]]:
+    """complex64 convenience wrapper over the c2 core (CPU backends only).
+
+    Accepts complex A/Y/x_init/oracle; score_fn_c2 still takes/returns c2
+    NHWC (the network layout). Returns a complex x_final.
+    """
+    A2, Y2 = cplx.from_complex(A), cplx.from_complex(Y)
+    x02 = cplx.from_complex(x_init)
+    orc2 = cplx.from_complex(oracle) if oracle is not None else None
+    xf2, trace = annealed_langevin_posterior_c2(
+        score_fn_c2, A2, Y2, sigmas, noise_power, x02, key,
+        alpha_step=alpha_step, beta_noise=beta_noise,
+        steps_each=steps_each, oracle=orc2)
+    return jax.lax.complex(xf2[..., 0], xf2[..., 1]), trace
 
 
 def annealed_langevin_unconditional(
@@ -132,7 +165,7 @@ def annealed_langevin_unconditional(
     """Unconditional annealed Langevin sampler (prior sampling).
 
     API-parity port of the canonical NCSNv2 sampler semantics
-    (ncsnv2/models/__init__.py:20-56), operating on NHWC real arrays:
+    (ncsnv2/models/__init__.py:20-56), operating on real NHWC arrays:
       step = step_lr·(σ_i/σ_end)²;  x ← x + step·s + √(2·step)·z
     with an optional final denoising step x ← x + σ_end²·s(x, σ_end)
     (models/__init__.py:47-51).

@@ -7,6 +7,9 @@ powers), optionally sharded over a ('data',) mesh and chunked to bound
 activation memory. The per-step NMSE tensor — the stopping-rule mechanism
 (test_score.py:174-175) — is a first-class output with the reference's
 (spacing, pilot_alpha, snr, step, channel) layout.
+
+All device arithmetic is c2 (real-pair, see cplx.py): the TPU has no
+complex dtype support; complex64 appears only on the host.
 """
 
 from __future__ import annotations
@@ -18,10 +21,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .. import physics
+from .. import cplx, physics
 from ..config import Config
 from ..data.dataset import ChannelDataset
-from ..diffusion.sampling import annealed_langevin_posterior
+from ..diffusion.sampling import annealed_langevin_posterior_c2
 from ..diffusion.sigmas import sigmas_from_config
 from ..parallel.mesh import data_sharding, pad_to_multiple
 
@@ -29,7 +32,7 @@ Array = jax.Array
 
 
 def score_fn_from_params(model, params) -> Callable[[Array, Array], Array]:
-    """Bind params → score_fn(x_nhwc, sigma) for the sampler."""
+    """Bind params → score_fn(x_nhwc_c2, sigma) for the sampler."""
 
     def score_fn(x, sigma):
         return model.apply({"params": params}, x, sigma)
@@ -39,25 +42,26 @@ def score_fn_from_params(model, params) -> Callable[[Array, Array], Array]:
 
 def langevin_chunked(
     score_fn,
-    A: Array,
-    Y: Array,
+    A2: Array,
+    Y2: Array,
     sigmas: Array,
     noise_power: Array,
-    x_init: Array,
+    x2_init: Array,
     key: Array,
     alpha_step,
     beta_noise,
     steps_each: int = 3,
-    oracle: Optional[Array] = None,
+    oracle2: Optional[Array] = None,
     chunk_size: Optional[int] = None,
     mesh=None,
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Run the posterior sampler over a large batch in equal jit-stable chunks.
+) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Run the c2 posterior sampler over a large batch in jit-stable chunks.
 
-    Returns host arrays (x_final (B,Nt,Nr) complex64, nmse_log (L·S, B) or None).
-    Chunks share one compiled executable (identical shapes; last chunk padded).
+    All array args are c2. Returns host arrays
+    (x_final complex64 (B,Nt,Nr), nmse_log (L·S, B) or None). Chunks share
+    one compiled executable (identical shapes; ragged tail padded).
     """
-    B = x_init.shape[0]
+    B = x2_init.shape[0]
     chunk = chunk_size or B
     per = jnp.broadcast_to
     noise_power = per(jnp.asarray(noise_power, jnp.float32), (B,))
@@ -65,16 +69,16 @@ def langevin_chunked(
     beta_noise = per(jnp.asarray(beta_noise, jnp.float32), (B,))
 
     sampler = jax.jit(
-        lambda a, y, npow, x0, k, al, be, orc: annealed_langevin_posterior(
+        lambda a, y, npow, x0, k, al, be, orc: annealed_langevin_posterior_c2(
             score_fn, a, y, sigmas, npow, x0, k,
             alpha_step=al, beta_noise=be, steps_each=steps_each, oracle=orc))
 
     finals, traces = [], []
     for start in range(0, B, chunk):
         sl = slice(start, min(start + chunk, B))
-        parts = [A[sl], Y[sl], noise_power[sl], x_init[sl]]
+        parts = [A2[sl], Y2[sl], noise_power[sl], x2_init[sl]]
         hp = [alpha_step[sl], beta_noise[sl]]
-        orc = oracle[sl] if oracle is not None else None
+        orc = oracle2[sl] if oracle2 is not None else None
         n_valid = parts[0].shape[0]
         if n_valid < chunk:  # pad the ragged tail to reuse the executable
             parts = [pad_to_multiple(p, chunk)[0] for p in parts]
@@ -88,13 +92,9 @@ def langevin_chunked(
             if orc is not None:
                 orc = jax.device_put(orc, data_sharding(mesh, orc.ndim))
         k_chunk = jax.random.fold_in(key, start)
-        xf, trace = sampler(parts[0], parts[1], parts[2], parts[3], k_chunk,
-                            hp[0], hp[1], orc)
-        # transfer as real/imag stack: complex64 host transfers are not
-        # supported on the experimental TPU tunnel backend
-        xf_ri = jax.device_get(jnp.stack([jnp.real(xf), jnp.imag(xf)]))
-        finals.append((np.asarray(xf_ri[0]) +
-                       1j * np.asarray(xf_ri[1])).astype(np.complex64)[:n_valid])
+        xf2, trace = sampler(parts[0], parts[1], parts[2], parts[3], k_chunk,
+                             hp[0], hp[1], orc)
+        finals.append(cplx.to_complex(jax.device_get(xf2))[:n_valid])
         if trace is not None:
             traces.append(np.asarray(jax.device_get(trace))[:, :n_valid])
     x_final = np.concatenate(finals, axis=0)
@@ -157,32 +157,31 @@ def run_snr_sweep(
 
     k_pilot, k_init, k_meas, k_run = jax.random.split(key, 4)
 
-    X = val_dataset.hermitian(normalized=True)[:num_channels]  # (C,Nt,Nr)
-    C = X.shape[0]
-    P = physics.qpsk_pilots(k_pilot, C, cfg.data.num_tx,
-                            val_dataset.num_pilots)
-    A = physics.pilot_operator(P)  # (C,Np,Nt)
-    x_init = physics.crandn(k_init, X.shape)  # same init ∀ SNR
+    X2 = val_dataset.hermitian_c2(normalized=True)[:num_channels]  # (C,Nt,Nr,2)
+    C = X2.shape[0]
+    P2 = cplx.qpsk_pilots(k_pilot, C, cfg.data.num_tx, val_dataset.num_pilots)
+    A2 = cplx.conj_transpose(P2)  # (C,Np,Nt,2)
+    x2_init = cplx.randn(k_init, X2.shape[:-1])  # same init ∀ SNR
 
     S = len(snr_range)
     noise_powers = np.asarray(
         physics.snr_to_noise_power(np.asarray(snr_range), cfg.data.num_tx))
 
-    # flatten SNR × channels into one batch
-    A_b = jnp.tile(A, (S, 1, 1))
-    X_b = jnp.tile(X, (S, 1, 1))
-    x0_b = jnp.tile(x_init, (S, 1, 1))
+    # flatten SNR × channels into one batch (snr-major)
+    A_b = jnp.tile(A2, (S, 1, 1, 1))
+    X_b = jnp.tile(X2, (S, 1, 1, 1))
+    x0_b = jnp.tile(x2_init, (S, 1, 1, 1))
     npow_b = jnp.repeat(jnp.asarray(noise_powers, jnp.float32), C)
     al_b = (jnp.repeat(jnp.asarray(alpha_step, jnp.float32), C)
             if np.ndim(alpha_step) else jnp.full((S * C,), alpha_step))
     be_b = (jnp.repeat(jnp.asarray(beta_noise, jnp.float32), C)
             if np.ndim(beta_noise) else jnp.full((S * C,), beta_noise))
 
-    Y_b = physics.measure(k_meas, A_b, X_b, npow_b)
+    Y_b = physics.measure_c2(k_meas, A_b, X_b, npow_b)
 
     _, trace = langevin_chunked(
         score_fn, A_b, Y_b, sigmas, npow_b, x0_b, k_run,
-        al_b, be_b, steps_each=sampling.steps_each, oracle=X_b,
+        al_b, be_b, steps_each=sampling.steps_each, oracle2=X_b,
         chunk_size=chunk_size, mesh=mesh)
     # (L·steps, S·C) → (S, steps, C)
     n_steps = trace.shape[0]

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .. import physics
+from .. import cplx, physics
 from ..config import Config
 from ..data.dataset import ChannelDataset
 from ..diffusion.sigmas import sigmas_from_config
@@ -90,11 +90,11 @@ def run_hparam_search(
     key = jax.random.key(seed)
     k_pilot, k_init, k_meas, k_run = jax.random.split(key, 4)
 
-    X = val_ds.hermitian(normalized=True)[:num_channels]
+    X = val_ds.hermitian_c2(normalized=True)[:num_channels]  # c2
     C = X.shape[0]
-    P = physics.qpsk_pilots(k_pilot, C, config.data.num_tx, num_pilots)
-    A = physics.pilot_operator(P)
-    x_init = physics.crandn(k_init, X.shape)  # shared across all combos/SNR
+    P = cplx.qpsk_pilots(k_pilot, C, config.data.num_tx, num_pilots)
+    A = cplx.conj_transpose(P)
+    x_init = cplx.randn(k_init, X.shape[:-1])  # shared across all combos/SNR
 
     nA, nB, S = len(alphas), len(betas), len(snr_range)
     noise_powers = np.asarray(
@@ -104,14 +104,14 @@ def run_hparam_search(
     # the reference regenerates noise per combo; sharing it removes
     # measurement-noise variance from the comparison (strictly better for
     # hyper-parameter selection, same expectation)
-    A_sc = jnp.tile(A, (S, 1, 1))
-    X_sc = jnp.tile(X, (S, 1, 1))
-    x0_sc = jnp.tile(x_init, (S, 1, 1))
+    A_sc = jnp.tile(A, (S, 1, 1, 1))
+    X_sc = jnp.tile(X, (S, 1, 1, 1))
+    x0_sc = jnp.tile(x_init, (S, 1, 1, 1))
     npow_sc = jnp.repeat(jnp.asarray(noise_powers), C)
-    Y_sc = physics.measure(k_meas, A_sc, X_sc, npow_sc)
+    Y_sc = physics.measure_c2(k_meas, A_sc, X_sc, npow_sc)
 
     G = nA * nB  # grid combos
-    reps = (G, 1, 1)
+    reps = (G, 1, 1, 1)
     A_b, X_b, x0_b, Y_b = (jnp.tile(t, reps) for t in (A_sc, X_sc, x0_sc, Y_sc))
     npow_b = jnp.tile(npow_sc, (G,))
     combo_alpha = np.repeat(alphas, nB)  # combo index g = iA*nB + iB
@@ -121,7 +121,7 @@ def run_hparam_search(
 
     _, trace = langevin_chunked(
         score_fn, A_b, Y_b, sigmas, npow_b, x0_b, k_run, al_b, be_b,
-        steps_each=config.sampling.steps_each, oracle=X_b,
+        steps_each=config.sampling.steps_each, oracle2=X_b,
         chunk_size=chunk_size, mesh=mesh)
     n_steps = trace.shape[0]
     nmse_log = np.transpose(

@@ -128,6 +128,25 @@ def measure(key: Array, A: Array, X: Array, noise_power: Array) -> Array:
 # -----------------------------------------------------------------------------
 
 
+# -----------------------------------------------------------------------------
+# c2 (real-pair) variants — the TPU-native path; see cplx.py
+# -----------------------------------------------------------------------------
+
+
+def measure_c2(key: Array, A2: Array, X2: Array, noise_power: Array) -> Array:
+    """Y = A·X + √noise·W in c2 arithmetic (TPU-safe; no complex dtype).
+
+    A2: (B,Np,Nt,2), X2: (B,Nt,Nr,2), noise_power scalar or (B,).
+    """
+    from . import cplx
+
+    Y = cplx.matmul(A2, X2)
+    w = cplx.randn(key, Y.shape[:-1])
+    np_ = jnp.asarray(noise_power, jnp.float32)
+    amp = jnp.sqrt(np_).reshape(np_.shape + (1,) * (Y.ndim - np_.ndim))
+    return Y + w * amp
+
+
 def nmse(estimate: Array, oracle: Array) -> Array:
     """Per-sample NMSE = ‖Ĥ−H‖²_F / ‖H‖²_F over trailing 2 dims.
 
