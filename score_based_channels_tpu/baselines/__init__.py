@@ -1,0 +1,3 @@
+from .ls import ls_estimate, run_ls_baseline  # noqa: F401
+from .lasso import fista_l1_lifted, run_lasso_baseline  # noqa: F401
+from .mmse import run_mmse_estimation  # noqa: F401

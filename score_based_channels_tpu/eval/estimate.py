@@ -246,3 +246,62 @@ def run_estimation(
         nmse_log=nmse_log, avg_nmse=avg, best_nmse=best,
         snr_range=snr_range, spacing_range=np.asarray(spacing_range),
         pilot_alpha_range=np.asarray(pilot_alpha_range))
+
+
+def main(argv=None):
+    """CLI: reference `test_score --train --test --spacing --pilot_alpha`
+    semantics (test_score.py:15-22)."""
+    import argparse
+
+    p = argparse.ArgumentParser(description="Score-based channel estimation")
+    p.add_argument("--train", type=str, default="CDL-C")
+    p.add_argument("--test", type=str, default="CDL-C")
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="default models/score/<train>/final_model.npz")
+    p.add_argument("--spacing", nargs="+", type=float, default=[0.5])
+    p.add_argument("--pilot_alpha", nargs="+", type=float, default=[0.6])
+    p.add_argument("--snr", nargs="+", type=float, default=None)
+    p.add_argument("--num_channels", type=int, default=100)
+    p.add_argument("--chunk", type=int, default=256)
+    p.add_argument("--output", type=str, default=None,
+                   help="default results/score/train-<tr>_test-<te>/results.npz")
+    p.add_argument("--cache", type=str, default="/tmp/sbc_jax_cache")
+    args = p.parse_args(argv)
+
+    import jax
+
+    if args.cache:
+        jax.config.update("jax_compilation_cache_dir", args.cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+    from ..models import make_score_model
+    from ..utils.checkpoint import load_checkpoint
+
+    ckpt_path = args.checkpoint or f"models/score/{args.train}/final_model.npz"
+    ck = load_checkpoint(ckpt_path)
+    config = ck["config"]
+    model = make_score_model(config.model, config.data.channels)
+    params = ck["ema"] if ck["ema"] is not None else ck["params"]
+    score_fn = score_fn_from_params(model, params)
+
+    res = run_estimation(
+        score_fn, config, train_profile=args.train, test_profile=args.test,
+        snr_range=np.asarray(args.snr) if args.snr else None,
+        spacing_range=tuple(args.spacing),
+        pilot_alpha_range=tuple(args.pilot_alpha),
+        num_channels=args.num_channels, chunk_size=args.chunk)
+
+    out = args.output or (f"results/score/train-{args.train}_test-{args.test}"
+                          "/results.npz")
+    res.save(out)
+    db = res.best_nmse_db()
+    for i_al, al in enumerate(res.pilot_alpha_range):
+        print(f"# pilot_alpha={al}")
+        for s, snr in enumerate(res.snr_range):
+            print(f"SNR {snr:6.1f} dB   NMSE {db[0, i_al, s]:7.2f} dB   "
+                  f"best step {res.avg_nmse[0, i_al, s].argmin()}")
+    print(f"saved {out}")
+
+
+if __name__ == "__main__":
+    main()

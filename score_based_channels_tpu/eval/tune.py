@@ -147,3 +147,63 @@ def run_hparam_search(
         best_alpha_snr=best_alpha_snr, best_beta_snr=best_beta_snr,
         best_step_snr=best_step_snr, snr_range=snr_range,
         alpha_step_range=alphas, beta_noise_range=betas)
+
+
+def main(argv=None):
+    """CLI: reference `tune_hparams_score --channel --alpha_step_range
+    --beta_noise_range --pilot_alpha` (tune_hparams_score.py:16-25)."""
+    import argparse
+
+    p = argparse.ArgumentParser(description="Langevin hparam grid search")
+    p.add_argument("--channel", type=str, default="CDL-C")
+    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--alpha_step_range", nargs="+", type=float,
+                   default=[3e-11, 6e-11, 1e-10, 3e-10])
+    p.add_argument("--beta_noise_range", nargs="+", type=float,
+                   default=[0.1, 0.01, 0.001])
+    p.add_argument("--pilot_alpha", type=float, default=0.6)
+    p.add_argument("--spacing", type=float, default=0.5)
+    p.add_argument("--snr", nargs="+", type=float, default=None)
+    p.add_argument("--num_channels", type=int, default=50)
+    p.add_argument("--chunk", type=int, default=256)
+    p.add_argument("--output", type=str, default=None)
+    p.add_argument("--cache", type=str, default="/tmp/sbc_jax_cache")
+    args = p.parse_args(argv)
+
+    import jax
+
+    if args.cache:
+        jax.config.update("jax_compilation_cache_dir", args.cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+    from ..models import make_score_model
+    from ..utils.checkpoint import load_checkpoint
+    from .estimate import score_fn_from_params
+
+    ckpt = args.checkpoint or f"models/score/{args.channel}/final_model.npz"
+    ck = load_checkpoint(ckpt)
+    config = ck["config"]
+    model = make_score_model(config.model, config.data.channels)
+    params = ck["ema"] if ck["ema"] is not None else ck["params"]
+    score_fn = score_fn_from_params(model, params)
+
+    res = run_hparam_search(
+        score_fn, config, channel=args.channel,
+        snr_range=np.asarray(args.snr) if args.snr else None,
+        alpha_step_range=tuple(args.alpha_step_range),
+        beta_noise_range=tuple(args.beta_noise_range),
+        spacing=args.spacing, pilot_alpha=args.pilot_alpha,
+        num_channels=args.num_channels, chunk_size=args.chunk)
+
+    out = args.output or f"results/score/{args.channel}-hyperparameters.npz"
+    res.save(out)
+    for s, snr in enumerate(res.snr_range):
+        db = 10 * np.log10(res.best_nmse[..., s].min())
+        print(f"SNR {snr:6.1f} dB  best NMSE {db:7.2f} dB  "
+              f"alpha {res.best_alpha_snr[s]:.1e}  beta {res.best_beta_snr[s]:.0e}  "
+              f"stop {int(res.best_step_snr[s])}")
+    print(f"saved {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -214,3 +214,35 @@ class ScoreTrainer:
                 metadata={"steps": int(state.step)})
             log_fn(f"saved checkpoint to {checkpoint_path}")
         return state, logs
+
+
+def main(argv=None):
+    """CLI: the reference `python -m ...train_score --train CDL-C` recipe
+    (train_score.py:20-23), TPU-native."""
+    import argparse
+
+    p = argparse.ArgumentParser(description="Train the score model (DSM+EMA)")
+    p.add_argument("--train", type=str, default="CDL-C",
+                   help="CDL profile to train on")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--output", type=str, default=None,
+                   help="checkpoint path (default models/score/<ch>/final_model.npz)")
+    p.add_argument("--cache", type=str, default="/tmp/sbc_jax_cache")
+    args = p.parse_args(argv)
+
+    import jax
+
+    if args.cache:
+        jax.config.update("jax_compilation_cache_dir", args.cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+    from ..config import default_score_config
+
+    cfg = default_score_config(args.train)
+    out = args.output or f"models/score/{args.train}/final_model.npz"
+    trainer = ScoreTrainer(cfg)
+    trainer.train(checkpoint_path=out, n_epochs=args.epochs)
+
+
+if __name__ == "__main__":
+    main()
