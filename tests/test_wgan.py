@@ -1,0 +1,94 @@
+"""DCGAN models, WGAN trainer, and latent inversion at tiny settings."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from score_based_channels_tpu import cplx
+from score_based_channels_tpu.config import Config, DataConfig
+from score_based_channels_tpu.eval.wgan import wgan_invert
+from score_based_channels_tpu.models.dcgan import DCGAN_D, DCGAN_G
+from score_based_channels_tpu.train.wgan import WGANTrainConfig, train_wgan
+
+
+def test_generator_shapes():
+    netG = DCGAN_G(isize=(16, 64), nz=60, ngf=32, n_extra_layers=1)
+    z = jax.random.normal(jax.random.key(0), (4, 60))
+    vars_ = netG.init(jax.random.key(1), z, train=True)
+    out = netG.apply(vars_, z, train=False)
+    assert out.shape == (4, 16, 64, 2)
+
+
+def test_critic_scalar_output():
+    netD = DCGAN_D(isize=(16, 64), ndf=16, n_extra_layers=1)
+    x = jax.random.normal(jax.random.key(0), (4, 16, 64, 2))
+    vars_ = netD.init(jax.random.key(1), x, train=True)
+    out = netD.apply(vars_, x, train=False)
+    assert out.shape == ()  # batch-mean critic value (aux_gan.py:56)
+
+
+def test_wgan_trains_and_critic_separates(tmp_path):
+    cfg = Config(data=DataConfig(num_channels=16))
+    tc = WGANTrainConfig(nz=16, ndf=16, ngf=16, batch_size=16, n_epochs=12,
+                         d_iters=2, d_iters_boost=4, boost_until=2,
+                         boost_every=1000)
+    path = str(tmp_path / "wgan.npz")
+    state, logs = train_wgan(cfg, tc, checkpoint_path=path,
+                             log_fn=lambda s: None)
+    assert np.all(np.isfinite(logs["d_log"]))
+    assert np.all(np.isfinite(logs["g_log"]))
+    # weight clipping: clamping happens at the START of each critic iter
+    # (train_wgan.py:143-144), so post-update weights may exceed the cube by
+    # at most one RMSProp step
+    leaves = jax.tree_util.tree_leaves(state.d_params)
+    assert max(float(jnp.abs(l).max()) for l in leaves) <= tc.clamp + 1e-3
+
+    from score_based_channels_tpu.utils.checkpoint import load_checkpoint
+
+    ck = load_checkpoint(path)
+    assert "gen" in ck["params"] and "disc" in ck["params"]
+
+
+def test_wgan_invert_reduces_measurement_loss():
+    netG = DCGAN_G(isize=(16, 64), nz=16, ngf=16)
+    z_true = jax.random.normal(jax.random.key(0), (3, 16))
+    vars_ = netG.init(jax.random.key(1), z_true, train=True)
+    stats = vars_.get("batch_stats", {})
+
+    def gen_apply(z):
+        return netG.apply({"params": vars_["params"], "batch_stats": stats},
+                          z, train=False)
+
+    X2 = gen_apply(z_true)  # target in the generator's range
+    P2 = cplx.qpsk_pilots(jax.random.key(2), 3, 64, 38)
+    Y2 = cplx.matmul(X2, P2)
+    z0 = jax.random.normal(jax.random.key(3), (3, 16))
+
+    gen, (nmse_tr, meas_tr, reg_tr) = wgan_invert(
+        gen_apply, z0, P2, Y2, l2lam=0.0, lr=0.03, num_steps=150, oracle2=X2)
+    assert nmse_tr.shape == (150, 3)
+    assert float(meas_tr[-1].mean()) < float(meas_tr[0].mean()) * 0.2
+    assert float(nmse_tr[-1].mean()) < float(nmse_tr[0].mean())
+
+
+def test_wgan_invert_per_sample_lr():
+    """lr=0 rows must not move; nonzero rows must."""
+    netG = DCGAN_G(isize=(16, 64), nz=8, ngf=16)
+    z0 = jax.random.normal(jax.random.key(0), (2, 8))
+    vars_ = netG.init(jax.random.key(1), z0, train=True)
+
+    def gen_apply(z):
+        return netG.apply({"params": vars_["params"],
+                           "batch_stats": vars_.get("batch_stats", {})},
+                          z, train=False)
+
+    P2 = cplx.qpsk_pilots(jax.random.key(2), 2, 64, 38)
+    Y2 = cplx.randn(jax.random.key(3), (2, 16, 38))
+    X2 = cplx.randn(jax.random.key(4), (2, 16, 64))
+    _, (nm, _, reg) = wgan_invert(
+        gen_apply, z0, P2, Y2, l2lam=0.0, lr=jnp.asarray([0.0, 0.01]),
+        num_steps=20, oracle2=X2)
+    np.testing.assert_allclose(nm[:, 0], nm[0, 0], rtol=1e-6)  # frozen row
+    assert np.abs(np.diff(nm[:, 1])).max() > 0  # optimized row moves
