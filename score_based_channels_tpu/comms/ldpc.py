@@ -1,0 +1,197 @@
+"""QC-LDPC encode/decode for the end-to-end link simulation.
+
+The reference's link-level evaluation is MATLAB (testPackets.m:29-60):
+IEEE 802.11n LDPC with codeword length 648, rate 1/2 (Z=27), BP decoding.
+This module provides the TPU-native equivalent:
+
+  - a quasi-cyclic (648, 324) code with Z=27, 12×24 base matrix, the
+    802.11n-style dual-diagonal parity structure and a WiFi-like
+    information-part degree profile. The exact Annex-R shift values are
+    not reproduced (standards text; transcription from memory would be
+    unreliable) — the stand-in has the same n/k/Z/structure and
+    representative performance, and the simulation is self-consistent
+    (encode and decode share H).
+  - systematic encoding via a host-precomputed GF(2) generator matrix
+    (Gaussian elimination once, numpy),
+  - batched normalized-min-sum BP decoding as a `lax.scan` over
+    iterations on DENSE masked (m, n) message arrays — at 324×648 the
+    dense form is ~0.8 MB/packet and maps cleanly onto the VPU, with the
+    packet batch as the parallel axis (no gathers/scatters).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+def _expand_base(base: np.ndarray, z: int) -> np.ndarray:
+    """Base matrix (−1 = zero block, s ≥ 0 = I shifted by s) → dense H."""
+    mb, nb = base.shape
+    H = np.zeros((mb * z, nb * z), np.uint8)
+    I = np.eye(z, dtype=np.uint8)
+    for i in range(mb):
+        for j in range(nb):
+            s = base[i, j]
+            if s >= 0:
+                H[i * z:(i + 1) * z, j * z:(j + 1) * z] = np.roll(
+                    I, -int(s) % z, axis=1)
+    return H
+
+
+def make_wifi_like_base(rate_num: int = 1, rate_den: int = 2, z: int = 27,
+                        nb: int = 24, seed: int = 80211) -> np.ndarray:
+    """802.11n-style base matrix: dual-diagonal parity part, pseudo-random
+    information shifts with a standard-like degree profile."""
+    assert rate_num * 2 == rate_den, "only rate 1/2 here"
+    mb = nb // 2  # 12
+    kb = nb - mb  # 12
+    rng = np.random.default_rng(seed)
+    base = -np.ones((mb, nb), np.int64)
+
+    # information part: column degrees ~ [11, 4, 3, 3, ...] (WiFi-like)
+    col_degrees = [11, 4, 4, 4, 3, 3, 3, 3, 3, 3, 3, 3][:kb]
+    for j, deg in enumerate(col_degrees):
+        rows = rng.choice(mb, size=deg, replace=False)
+        for i in rows:
+            base[i, j] = rng.integers(0, z)
+
+    # parity part (columns kb..nb): 802.11n structure —
+    # first parity column has weight 3 (rows 0, mid, last; one shift 1),
+    # the rest is a shift-0 dual diagonal
+    p0 = kb
+    base[0, p0] = 1
+    base[mb // 2, p0] = 0
+    base[mb - 1, p0] = 1
+    for t in range(1, mb):
+        base[t - 1, p0 + t] = 0
+        base[t, p0 + t] = 0
+    # guarantee every row has an info-part entry (full BP connectivity)
+    for i in range(mb):
+        if np.all(base[i, :kb] < 0):
+            base[i, rng.integers(0, kb)] = rng.integers(0, z)
+    return base
+
+
+@dataclasses.dataclass
+class LDPCCode:
+    """A binary LDPC code with dense H and a systematic encoder."""
+
+    H: np.ndarray  # (m, n) uint8
+    G_info_to_parity: np.ndarray  # (k, m) uint8: parity = u @ P mod 2
+    perm: np.ndarray  # column permutation applied to H for systematic form
+    n: int
+    k: int
+
+    @property
+    def m(self) -> int:
+        return self.n - self.k
+
+    def encode(self, bits: np.ndarray) -> np.ndarray:
+        """bits (..., k) uint8 → codewords (..., n), systematic in the
+        (permuted) first k positions, de-permuted back to H's columns."""
+        u = np.asarray(bits, np.uint8)
+        parity = (u @ self.G_info_to_parity) % 2
+        cw_perm = np.concatenate([u, parity], axis=-1)
+        out = np.empty_like(cw_perm)
+        out[..., self.perm] = cw_perm
+        return out
+
+    def check(self, cw: np.ndarray) -> np.ndarray:
+        """Syndrome == 0 per codeword (..., n) → bool (...)."""
+        return ((np.asarray(cw, np.uint8) @ self.H.T) % 2 == 0).all(-1)
+
+
+def _systematize(H: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """GF(2) Gaussian elimination: H·Πᵀ = [A | I_m] (column permutation Π).
+
+    Returns (P, perm) with parity = u @ P for the permuted layout
+    [info(k) | parity(m)].
+    """
+    H = H.copy() % 2
+    m, n = H.shape
+    perm = np.arange(n)
+    # reduce the LAST m columns to identity (pivot from the right)
+    row = 0
+    for col in range(n - m, n):
+        # find pivot at/below `row` in column `col` (after permutation)
+        pivots = np.nonzero(H[row:, perm[col]])[0]
+        if len(pivots) == 0:
+            # swap in a column from the info part that has a pivot
+            for j in range(n - m):
+                if H[row:, perm[j]].any():
+                    perm[[col, j]] = perm[[j, col]]
+                    pivots = np.nonzero(H[row:, perm[col]])[0]
+                    break
+            else:
+                raise ValueError("H is rank deficient")
+        r = row + pivots[0]
+        H[[row, r]] = H[[r, row]]
+        # eliminate
+        mask = H[:, perm[col]].copy()
+        mask[row] = 0
+        H[mask == 1] ^= H[row]
+        row += 1
+    A = H[:, perm[: n - m]]  # (m, k): parity = A @ u
+    return (A.T % 2).astype(np.uint8), perm
+
+
+def make_wifi_like_ldpc(z: int = 27, nb: int = 24, seed: int = 80211
+                        ) -> LDPCCode:
+    """(648, 324) rate-1/2 QC-LDPC (see module docstring)."""
+    base = make_wifi_like_base(z=z, nb=nb, seed=seed)
+    H = _expand_base(base, z)
+    P, perm = _systematize(H)
+    n = H.shape[1]
+    k = n - H.shape[0]
+    return LDPCCode(H=H, G_info_to_parity=P, perm=perm, n=n, k=k)
+
+
+# -----------------------------------------------------------------------------
+# batched min-sum BP decoding (dense masked messages)
+# -----------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("num_iters",))
+def minsum_decode(
+    llr: Array,  # (B, n) channel LLRs (positive ⇒ bit 0)
+    H: Array,  # (m, n) float mask
+    num_iters: int = 25,
+    normalize: float = 0.75,
+) -> Tuple[Array, Array]:
+    """Normalized min-sum BP. Returns (hard bits (B, n), final LLRs)."""
+    B, n = llr.shape
+    m = H.shape[0]
+    mask = H[None]  # (1, m, n)
+    big = jnp.float32(1e9)
+
+    def body(carry, _):
+        v2c_prev = carry  # (B, m, n) check-to-variable from last round
+        # variable beliefs
+        total = llr[:, None, :] + jnp.sum(v2c_prev * mask, axis=1,
+                                          keepdims=True)
+        c_in = (total - v2c_prev) * mask  # variable→check messages
+        # per-row min and 2nd min of |c_in| ("min excluding self")
+        absm = jnp.where(mask > 0, jnp.abs(c_in), big)
+        min1 = jnp.min(absm, axis=2, keepdims=True)
+        onehot = jax.nn.one_hot(jnp.argmin(absm, axis=2), n, dtype=jnp.bool_)
+        min2 = jnp.min(jnp.where(onehot, big, absm), axis=2, keepdims=True)
+        mag = jnp.where(onehot, min2, min1) * normalize
+        # sign: product of signs excluding self
+        sgn = jnp.where(mask > 0, jnp.sign(c_in) + (c_in == 0), 1.0)
+        row_sign = jnp.prod(sgn, axis=2, keepdims=True)
+        c2v = row_sign * sgn * mag * mask
+        return c2v, None
+
+    c2v0 = jnp.zeros((B, m, n), jnp.float32)
+    c2v, _ = jax.lax.scan(body, c2v0, None, length=num_iters)
+    post = llr + jnp.sum(c2v * jnp.asarray(H)[None], axis=1)
+    bits = (post < 0).astype(jnp.uint8)  # positive LLR ⇒ bit 0
+    return bits, post

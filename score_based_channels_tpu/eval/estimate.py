@@ -263,6 +263,9 @@ def main(argv=None):
     p.add_argument("--snr", nargs="+", type=float, default=None)
     p.add_argument("--num_channels", type=int, default=100)
     p.add_argument("--chunk", type=int, default=256)
+    p.add_argument("--hparams", type=str, default=None,
+                   help="tuner output npz: use per-SNR best (alpha, beta) "
+                        "and report known-SNR stopping-step NMSE")
     p.add_argument("--output", type=str, default=None,
                    help="default results/score/train-<tr>_test-<te>/results.npz")
     p.add_argument("--cache", type=str, default="/tmp/sbc_jax_cache")
@@ -284,12 +287,24 @@ def main(argv=None):
     params = ck["ema"] if ck["ema"] is not None else ck["params"]
     score_fn = score_fn_from_params(model, params)
 
+    alpha_step = beta_noise = None
+    stop_steps = None
+    snr_range = np.asarray(args.snr) if args.snr else None
+    if args.hparams:
+        with np.load(args.hparams) as h:
+            alpha_step = h["best_alpha_snr"]
+            beta_noise = h["best_beta_snr"]
+            stop_steps = h["best_step_snr"]
+            if snr_range is None:
+                snr_range = h["snr_range"]
+
     res = run_estimation(
         score_fn, config, train_profile=args.train, test_profile=args.test,
-        snr_range=np.asarray(args.snr) if args.snr else None,
+        snr_range=snr_range,
         spacing_range=tuple(args.spacing),
         pilot_alpha_range=tuple(args.pilot_alpha),
-        num_channels=args.num_channels, chunk_size=args.chunk)
+        num_channels=args.num_channels, chunk_size=args.chunk,
+        alpha_step=alpha_step, beta_noise=beta_noise)
 
     out = args.output or (f"results/score/train-{args.train}_test-{args.test}"
                           "/results.npz")
@@ -298,8 +313,12 @@ def main(argv=None):
     for i_al, al in enumerate(res.pilot_alpha_range):
         print(f"# pilot_alpha={al}")
         for s, snr in enumerate(res.snr_range):
-            print(f"SNR {snr:6.1f} dB   NMSE {db[0, i_al, s]:7.2f} dB   "
-                  f"best step {res.avg_nmse[0, i_al, s].argmin()}")
+            line = (f"SNR {snr:6.1f} dB   NMSE {db[0, i_al, s]:7.2f} dB   "
+                    f"best step {res.avg_nmse[0, i_al, s].argmin()}")
+            if stop_steps is not None:
+                known = res.avg_nmse[0, i_al, s, int(stop_steps[s])]
+                line += f"   known-SNR stop {10 * np.log10(known):7.2f} dB"
+            print(line)
     print(f"saved {out}")
 
 

@@ -225,6 +225,9 @@ def main(argv=None):
     p.add_argument("--train", type=str, default="CDL-C",
                    help="CDL profile to train on")
     p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--train_size", type=int, default=None,
+                   help="training realizations (reference uses 200; the "
+                        "built-in CDL generator allows arbitrarily more)")
     p.add_argument("--output", type=str, default=None,
                    help="checkpoint path (default models/score/<ch>/final_model.npz)")
     p.add_argument("--cache", type=str, default="/tmp/sbc_jax_cache")
@@ -236,9 +239,14 @@ def main(argv=None):
         jax.config.update("jax_compilation_cache_dir", args.cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
+    import dataclasses as _dc
+
     from ..config import default_score_config
 
     cfg = default_score_config(args.train)
+    if args.train_size:
+        cfg = cfg.replace(data=_dc.replace(cfg.data,
+                                           num_channels=args.train_size))
     out = args.output or f"models/score/{args.train}/final_model.npz"
     trainer = ScoreTrainer(cfg)
     trainer.train(checkpoint_path=out, n_epochs=args.epochs)

@@ -1,0 +1,103 @@
+"""LDPC / modulation / MIMO LLR / link-sim correctness."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from score_based_channels_tpu import cplx
+from score_based_channels_tpu.comms.ldpc import (
+    make_wifi_like_ldpc, minsum_decode,
+)
+from score_based_channels_tpu.comms.mimo import mimo_ml_llr
+from score_based_channels_tpu.comms.modulation import (
+    qpsk_demap_llr, qpsk_modulate,
+)
+from score_based_channels_tpu.comms.link import run_link_simulation
+
+
+def test_ldpc_valid_codewords():
+    code = make_wifi_like_ldpc()
+    assert (code.n, code.k) == (648, 324)
+    rng = np.random.default_rng(0)
+    bits = rng.integers(0, 2, (16, code.k), dtype=np.uint8)
+    cw = code.encode(bits)
+    assert cw.shape == (16, 648)
+    assert code.check(cw).all()
+    # wrong words fail the check
+    bad = cw.copy()
+    bad[:, 5] ^= 1
+    assert not code.check(bad).any()
+
+
+def test_ldpc_decoding_corrects_errors():
+    code = make_wifi_like_ldpc()
+    rng = np.random.default_rng(1)
+    B = 8
+    bits = rng.integers(0, 2, (B, code.k), dtype=np.uint8)
+    cw = code.encode(bits).astype(np.float32)
+    # BPSK over AWGN at moderate SNR
+    x = 1.0 - 2.0 * cw
+    sigma = 0.6  # ~4.4 dB Eb/N0 at rate 1/2
+    y = x + sigma * rng.standard_normal(x.shape).astype(np.float32)
+    llr = 2.0 * y / sigma**2
+    hard_in_errs = ((llr < 0).astype(np.uint8) != cw).sum()
+    bits_hat, _ = minsum_decode(jnp.asarray(llr),
+                                jnp.asarray(code.H, jnp.float32),
+                                num_iters=30)
+    errs = (np.asarray(bits_hat) != cw.astype(np.uint8)).sum()
+    assert hard_in_errs > 0
+    assert errs < hard_in_errs * 0.05, (hard_in_errs, errs)
+
+
+def test_qpsk_roundtrip():
+    rng = np.random.default_rng(2)
+    bits = jnp.asarray(rng.integers(0, 2, (4, 64), dtype=np.uint8))
+    syms = qpsk_modulate(bits)
+    assert syms.shape == (4, 32, 2)
+    np.testing.assert_allclose(np.asarray(cplx.abs2(syms)), 1.0, rtol=1e-5)
+    llr = qpsk_demap_llr(syms, noise_var=0.1)
+    hard = (np.asarray(llr) < 0).astype(np.uint8)
+    np.testing.assert_array_equal(hard, np.asarray(bits))
+
+
+def test_mimo_ml_llr_noiseless_recovers_bits():
+    key = jax.random.key(3)
+    kh, kb = jax.random.split(key)
+    B, L, Nr, Ns = 2, 10, 16, 4
+    H = cplx.randn(kh, (B, Nr, Ns))
+    rng = np.random.default_rng(4)
+    bits = rng.integers(0, 2, (B, L, 2 * Ns), dtype=np.uint8)
+    s = qpsk_modulate(jnp.asarray(bits.reshape(B, -1))).reshape(B, L, Ns, 2)
+    Y = cplx.matmul(s, cplx.transpose(H))
+    llr = mimo_ml_llr(Y, H, 0.01, n_streams=Ns)
+    hard = (np.asarray(llr) < 0).astype(np.uint8)
+    np.testing.assert_array_equal(hard, bits)
+
+
+def test_mimo_ml_llr_maxlog_close_to_exact():
+    key = jax.random.key(5)
+    kh, ky = jax.random.split(key)
+    H = cplx.randn(kh, (1, 16, 4))
+    Y = cplx.randn(ky, (1, 6, 16))
+    exact = mimo_ml_llr(Y, H, 1.0, max_log=False)
+    ml = mimo_ml_llr(Y, H, 1.0, max_log=True)
+    # same signs in the typical case, values close
+    agree = np.mean(np.sign(np.asarray(exact)) == np.sign(np.asarray(ml)))
+    assert agree > 0.9
+
+
+def test_link_sim_estimated_csi_degrades_gracefully():
+    """Perfect estimates ⇒ identical BER; noisy estimates ⇒ worse BER."""
+    key = jax.random.key(6)
+    kh, ke = jax.random.split(key)
+    B, Nr, Nt = 12, 16, 64
+    H = np.asarray(cplx.to_complex(cplx.randn(kh, (B, Nr, Nt))))
+    H_noisy = H + 0.3 * np.asarray(
+        cplx.to_complex(cplx.randn(ke, (B, Nr, Nt))))
+    res = run_link_simulation(H, H_noisy, snr_range=np.array([0.0, 10.0]),
+                              num_bp_iters=12)
+    assert res.ber_ideal.shape == (2,)
+    # at 10 dB the ideal link should be essentially clean
+    assert res.ber_ideal[1] <= 0.05
+    # estimated CSI with 30% error must be no better than ideal
+    assert res.ber_est[1] >= res.ber_ideal[1] - 1e-9
