@@ -232,7 +232,7 @@ def _generate_one(
     zod = jnp.asarray(rows[:, 4], jnp.float32) * deg
     zoa = jnp.asarray(rows[:, 5], jnp.float32) * deg
 
-    offs = jnp.asarray(RAY_OFFSETS_PM, jnp.float32) * deg  # (M,)
+    offs = jnp.asarray(RAY_OFFSETS_PM, jnp.float32)  # (M,) unitless
 
     k_phase, k_coup_a, k_coup_z = jax.random.split(key, 3)
     # random ray coupling: permute the AoA/ZoA ray offsets per cluster
