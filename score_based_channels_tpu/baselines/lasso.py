@@ -234,3 +234,45 @@ def run_lasso_baseline(
         best_lmbda=best_lmbda, best_lr=best_lr, snr_range=snr_range,
         alpha_range=np.asarray(alpha_range),
         lmbda_range=np.asarray(lmbda_range), lr_range=np.asarray(lr_range))
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(description="Lasso/fsAD lifted-Fourier CS")
+    p.add_argument("--train", type=str, default="CDL-C")
+    p.add_argument("--test", type=str, default="CDL-C")
+    p.add_argument("--alpha", nargs="+", type=float, default=[0.6])
+    p.add_argument("--lmbda", nargs="+", type=float, default=[0.3])
+    p.add_argument("--lr", nargs="+", type=float, default=[3e-3])
+    p.add_argument("--lifting", type=int, default=4)
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--snr", nargs="+", type=float, default=None)
+    p.add_argument("--num_channels", type=int, default=50)
+    p.add_argument("--chunk", type=int, default=None)
+    p.add_argument("--output", type=str, default=None)
+    args = p.parse_args(argv)
+
+    from ..config import default_score_config
+
+    cfg = default_score_config(args.train)
+    res = run_lasso_baseline(
+        cfg, channel=args.test, train_profile=args.train,
+        snr_range=np.asarray(args.snr) if args.snr else None,
+        alpha_range=tuple(args.alpha), lmbda_range=tuple(args.lmbda),
+        lr_range=tuple(args.lr), lifting=args.lifting, num_iters=args.steps,
+        num_channels=args.num_channels, chunk_size=args.chunk)
+    for a, al in enumerate(res.alpha_range):
+        for s, snr in enumerate(res.snr_range):
+            print(f"alpha {al} SNR {snr:6.1f} dB  NMSE "
+                  f"{10 * np.log10(res.best_nmse[a, s]):7.2f} dB  "
+                  f"(lambda {res.best_lmbda[a, s]:.1e}, lr "
+                  f"{res.best_lr[a, s]:.1e})")
+    out = args.output or (f"results/l1CS_lifted{args.lifting}/"
+                          f"train-{args.train}_test-{args.test}.npz")
+    res.save(out)
+    print(f"saved {out}")
+
+
+if __name__ == "__main__":
+    main()

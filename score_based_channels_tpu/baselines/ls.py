@@ -131,3 +131,37 @@ def run_ls_baseline(
     return LSResults(nmse=out, snr_range=snr_range,
                      spacing_range=np.asarray(spacing_range),
                      alpha_range=np.asarray(alpha_range))
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(description="Regularized-LS baseline")
+    p.add_argument("--model", type=str, default="CDL-C")
+    p.add_argument("--channel", type=str, default="CDL-C")
+    p.add_argument("--spacing", nargs="+", type=float, default=[0.5])
+    p.add_argument("--alpha", nargs="+", type=float, default=[0.6])
+    p.add_argument("--snr", nargs="+", type=float, default=None)
+    p.add_argument("--num_channels", type=int, default=50)
+    p.add_argument("--output", type=str, default=None)
+    args = p.parse_args(argv)
+
+    from ..config import default_score_config
+
+    cfg = default_score_config(args.model)
+    res = run_ls_baseline(
+        cfg, channel=args.channel, model_channel=args.model,
+        snr_range=np.asarray(args.snr) if args.snr else None,
+        spacing_range=tuple(args.spacing), alpha_range=tuple(args.alpha),
+        num_channels=args.num_channels)
+    db = res.avg_nmse_db()
+    for s, snr in enumerate(res.snr_range):
+        print(f"SNR {snr:6.1f} dB  NMSE {db[0, 0, s]:7.2f} dB")
+    out = args.output or (f"results/ls/model_{args.model}_channel_"
+                          f"{args.channel}.npz")
+    res.save(out)
+    print(f"saved {out}")
+
+
+if __name__ == "__main__":
+    main()

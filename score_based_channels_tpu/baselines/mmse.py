@@ -144,3 +144,58 @@ def run_mmse_estimation(
                                            X_np, xf[0].shape))))
     return MMSEResults(nmse_mean_est=nmse_mean, nmse_single=nmse_single,
                        snr_range=snr_range, mmse_avg=mmse_avg)
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="Approximate MMSE via posterior-sample averaging")
+    p.add_argument("--train", type=str, default="CDL-C")
+    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--snr", nargs="+", type=float, default=None)
+    p.add_argument("--num_channels", type=int, default=20)
+    p.add_argument("--mmse_avg", type=int, default=50)
+    p.add_argument("--init", type=str, default="noise",
+                   choices=["noise", "adjoint", "ls"])
+    p.add_argument("--alpha_step", type=float, default=None)
+    p.add_argument("--beta_noise", type=float, default=None)
+    p.add_argument("--chunk", type=int, default=256)
+    p.add_argument("--output", type=str, default=None)
+    p.add_argument("--cache", type=str, default="/tmp/sbc_jax_cache")
+    args = p.parse_args(argv)
+
+    import jax as _jax
+
+    if args.cache:
+        _jax.config.update("jax_compilation_cache_dir", args.cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+    from ..models import make_score_model
+    from ..utils.checkpoint import load_checkpoint
+    from ..eval.estimate import score_fn_from_params
+
+    ckpt = args.checkpoint or f"models/score/{args.train}/final_model.npz"
+    ck = load_checkpoint(ckpt)
+    config = ck["config"]
+    model = make_score_model(config.model, config.data.channels)
+    params = ck["ema"] if ck["ema"] is not None else ck["params"]
+    score_fn = score_fn_from_params(model, params)
+
+    res = run_mmse_estimation(
+        score_fn, config, channel=args.train,
+        snr_range=np.asarray(args.snr) if args.snr else None,
+        num_channels=args.num_channels, mmse_avg=args.mmse_avg,
+        init=args.init, alpha_step=args.alpha_step,
+        beta_noise=args.beta_noise, chunk_size=args.chunk)
+    for s, snr in enumerate(res.snr_range):
+        print(f"SNR {snr:6.1f} dB  MMSE-avg NMSE {res.avg_db()[s]:7.2f} dB  "
+              f"(single sample "
+              f"{10 * np.log10(res.nmse_single.mean(-1)[s]):7.2f} dB)")
+    out = args.output or f"results/mmse/{args.train}.npz"
+    res.save(out)
+    print(f"saved {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -130,9 +130,11 @@ def run_link_simulation(
 
     key = jax.random.key(seed)
     bi, be, li, le = [], [], [], []
+    per_snr_est = H_est2.ndim == 5  # (S, B, Nr, Nt, 2): SNR-matched estimates
     for i, snr in enumerate(np.asarray(snr_range, np.float64)):
+        est_i = H_est2[i] if per_snr_est else H_est2
         ideal, est = simulate_packets(
-            jax.random.fold_in(key, i), H_true2, H_est2, float(snr), code,
+            jax.random.fold_in(key, i), H_true2, est_i, float(snr), code,
             n_streams=n_streams, num_bp_iters=num_bp_iters)
         bi.append(ideal["ber"])
         be.append(est["ber"])
@@ -142,3 +144,52 @@ def run_link_simulation(
         snr_range=np.asarray(snr_range, np.float64),
         ber_ideal=np.asarray(bi), ber_est=np.asarray(be),
         bler_ideal=np.asarray(li), bler_est=np.asarray(le))
+
+
+def main(argv=None):
+    """CLI: coded BER/BLER with estimated vs ideal CSI
+    (test_end_to_end.m:38-60 — estimation and data SNRs are matched)."""
+    import argparse
+
+    p = argparse.ArgumentParser(description="End-to-end coded link sim")
+    p.add_argument("--channels", type=str, required=True,
+                   help="npz from `estimate --save_channels` (est_* and "
+                        "oracle_* arrays)")
+    p.add_argument("--spacing_idx", type=int, default=0)
+    p.add_argument("--alpha_idx", type=int, default=0)
+    p.add_argument("--snr", nargs="+", type=float, default=None,
+                   help="subset of the estimation SNR grid to simulate")
+    p.add_argument("--streams", type=int, default=4)
+    p.add_argument("--bp_iters", type=int, default=25)
+    p.add_argument("--output", type=str, default=None)
+    args = p.parse_args(argv)
+
+    with np.load(args.channels) as f:
+        tag = f"sp{args.spacing_idx}_al{args.alpha_idx}"
+        est = f[f"est_{tag}"]  # (S, C, Nt, Nr) complex, Hermitian view
+        oracle = f[f"oracle_{tag}"]  # (C, Nt, Nr)
+        snr_grid = f["snr_range"]
+
+    # Hermitian → physical H (C, Nr, Nt)
+    H_true = np.conj(np.swapaxes(oracle, -1, -2))
+    H_est = np.conj(np.swapaxes(est, -1, -2))  # (S, C, Nr, Nt)
+
+    if args.snr is not None:
+        sel = [int(np.argmin(np.abs(snr_grid - s))) for s in args.snr]
+        snr_grid = snr_grid[sel]
+        H_est = H_est[sel]
+
+    res = run_link_simulation(
+        H_true, cplx.from_complex(H_est), snr_range=snr_grid,
+        n_streams=args.streams, num_bp_iters=args.bp_iters)
+    for i, snr in enumerate(res.snr_range):
+        print(f"SNR {snr:6.1f} dB  BER ideal {res.ber_ideal[i]:.4f} "
+              f"est {res.ber_est[i]:.4f}  BLER ideal {res.bler_ideal[i]:.3f} "
+              f"est {res.bler_est[i]:.3f}")
+    out = args.output or "results/link/results.npz"
+    res.save(out)
+    print(f"saved {out}")
+
+
+if __name__ == "__main__":
+    main()

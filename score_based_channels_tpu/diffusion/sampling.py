@@ -65,6 +65,7 @@ def annealed_langevin_posterior_c2(
     beta_noise: Array = 0.01,
     steps_each: int = 3,
     oracle: Optional[Array] = None,
+    capture_level: Optional[Array] = None,
 ) -> Tuple[Array, Optional[Array]]:
     """Run the full annealed-Langevin posterior schedule in one scan (c2).
 
@@ -83,9 +84,14 @@ def annealed_langevin_posterior_c2(
       oracle: optional (B, Nt, Nr, 2) ground truth; when given, the
         per-step NMSE trace is returned as (L·steps_each, B) matching the
         reference's nmse_log layout (test_score.py:168-171).
+      capture_level: optional (B,) int32 per-sample σ-level index at which
+        to snapshot the iterate (tuned early stopping without re-running a
+        truncated schedule); the snapshot is taken after that level's last
+        inner step and returned instead of x at the final level.
 
     Returns:
-      (x_final (B,Nt,Nr,2), nmse_log or None)
+      (x_final (B,Nt,Nr,2) — or the per-sample captured iterate when
+       capture_level is given — , nmse_log or None)
     """
     sigma_end = sigmas[-1]
     Ah = cplx.conj_transpose(A)
@@ -97,9 +103,16 @@ def annealed_langevin_posterior_c2(
     track = oracle is not None
     if track:
         oracle_energy = cplx.sum_abs2(oracle, axis=(-1, -2))
+    capture = capture_level is not None
+    if capture:
+        cap_lvl = jnp.asarray(capture_level, jnp.int32)
 
-    def level_step(carry, sigma):
-        x, k = carry
+    def level_step(carry, level_in):
+        sigma, lvl = level_in
+        if capture:
+            x, x_cap, k = carry
+        else:
+            x, k = carry
         alpha = alpha_b * (sigma / sigma_end) ** 2
         denom = np_b / 2.0 + sigma**2
         coef = alpha / denom
@@ -116,13 +129,25 @@ def annealed_langevin_posterior_c2(
                 err = cplx.sum_abs2(x - oracle, axis=(-1, -2))
                 nmses.append((err / oracle_energy).astype(jnp.float32))
         ys = jnp.stack(nmses) if track else None
+        if capture:
+            latch = (cap_lvl == lvl)[:, None, None, None]
+            x_cap = jnp.where(latch, x, x_cap)
+            return (x, x_cap, k), ys
         return (x, k), ys
 
-    (x_final, _), nmse_levels = jax.lax.scan(level_step, (x_init, key), sigmas)
+    levels = jnp.arange(sigmas.shape[0], dtype=jnp.int32)
+    if capture:
+        (x_final, x_cap, _), nmse_levels = jax.lax.scan(
+            level_step, (x_init, x_init, key), (sigmas, levels))
+        x_out = x_cap
+    else:
+        (x_final, _), nmse_levels = jax.lax.scan(
+            level_step, (x_init, key), (sigmas, levels))
+        x_out = x_final
     if track:
         L, S, B = nmse_levels.shape
-        return x_final, nmse_levels.reshape(L * S, B)
-    return x_final, None
+        return x_out, nmse_levels.reshape(L * S, B)
+    return x_out, None
 
 
 def annealed_langevin_posterior(
@@ -189,4 +214,95 @@ def annealed_langevin_unconditional(
     (x, _), _ = jax.lax.scan(level_step, (x_init, key), sigmas)
     if denoise:
         x = x + sigma_end**2 * score_fn(x, sigma_end)
+    return x
+
+
+def annealed_langevin_inpainting(
+    score_fn: Callable[[Array, Array], Array],
+    x_init: Array,
+    refer_x: Array,
+    known_mask: Array,
+    sigmas: Array,
+    key: Array,
+    n_steps_each: int = 100,
+    step_lr: float = 8e-6,
+) -> Array:
+    """Inpainting sampler (ncsnv2/models/__init__.py:59-89 semantics).
+
+    At every step the known region is re-imposed as refer + σ·noise
+    (models/__init__.py:81-82); the mask generalizes the reference's
+    hard-coded "right half missing" to arbitrary known-entry masks —
+    for channels this is per-entry partial CSI refinement.
+
+    known_mask: broadcastable to x, 1.0 where x is known.
+    """
+    sigma_end = sigmas[-1]
+    mask = jnp.asarray(known_mask, x_init.dtype)
+
+    def level_step(carry, sigma):
+        x0, k0 = carry
+        step = step_lr * (sigma / sigma_end) ** 2
+
+        def inner(_, carry):
+            x, k = carry
+            k, k1, k2 = jax.random.split(k, 3)
+            corrupted = refer_x + sigma * jax.random.normal(
+                k1, refer_x.shape, x.dtype)
+            x = mask * corrupted + (1.0 - mask) * x
+            s = score_fn(x, sigma)
+            z = jax.random.normal(k2, x.shape, x.dtype)
+            return x + step * s + jnp.sqrt(2.0 * step) * z, k
+
+        x, k = jax.lax.fori_loop(0, n_steps_each, inner, (x0, k0))
+        return (x, k), None
+
+    (x, _), _ = jax.lax.scan(level_step, (x_init, key), sigmas)
+    return x
+
+
+def annealed_langevin_interpolation(
+    score_fn: Callable[[Array, Array], Array],
+    x_init: Array,
+    sigmas: Array,
+    key: Array,
+    n_interpolations: int = 8,
+    n_steps_each: int = 200,
+    step_lr: float = 8e-6,
+) -> Array:
+    """Interpolation sampler (ncsnv2/models/__init__.py:91-137 semantics).
+
+    Each input row is repeated n_interpolations times; the injected noise
+    interpolates between two fixed Gaussian draws on a quarter circle
+    (models/__init__.py:108-117), yielding smooth sample paths between two
+    random outcomes. Returns (B·n_interpolations, ...) samples.
+    """
+    sigma_end = sigmas[-1]
+    B = x_init.shape[0]
+    ni = n_interpolations
+    x = jnp.repeat(x_init, ni, axis=0)
+    angles = jnp.linspace(0.0, jnp.pi / 2.0, ni)
+    cosw = jnp.cos(angles)
+    sinw = jnp.sin(angles)
+
+    def level_step(carry, sigma):
+        x0, k0 = carry
+        step = step_lr * (sigma / sigma_end) ** 2
+
+        def inner(_, carry):
+            x, k = carry
+            k, kp, kq = jax.random.split(k, 3)
+            shape = (B,) + x.shape[1:]
+            zp = jax.random.normal(kp, shape, x.dtype)
+            zq = jax.random.normal(kq, shape, x.dtype)
+            w_shape = (1, ni) + (1,) * (x.ndim - 1)
+            z = (zp[:, None] * cosw.reshape(w_shape)
+                 + zq[:, None] * sinw.reshape(w_shape))
+            z = z.reshape(x.shape)
+            s = score_fn(x, sigma)
+            return x + step * s + jnp.sqrt(2.0 * step) * z, k
+
+        x1, k1 = jax.lax.fori_loop(0, n_steps_each, inner, (x0, k0))
+        return (x1, k1), None
+
+    (x, _), _ = jax.lax.scan(level_step, (x, key), sigmas)
     return x

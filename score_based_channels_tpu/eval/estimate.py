@@ -54,12 +54,15 @@ def langevin_chunked(
     oracle2: Optional[Array] = None,
     chunk_size: Optional[int] = None,
     mesh=None,
+    capture_level: Optional[Array] = None,
 ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     """Run the c2 posterior sampler over a large batch in jit-stable chunks.
 
     All array args are c2. Returns host arrays
-    (x_final complex64 (B,Nt,Nr), nmse_log (L·S, B) or None). Chunks share
-    one compiled executable (identical shapes; ragged tail padded).
+    (x_final complex64 (B,Nt,Nr), nmse_log (L·S, B) or None); with
+    capture_level (B,) the returned estimates are the per-sample
+    early-stopped iterates. Chunks share one compiled executable
+    (identical shapes; ragged tail padded).
     """
     B = x2_init.shape[0]
     chunk = chunk_size or B
@@ -67,11 +70,15 @@ def langevin_chunked(
     noise_power = per(jnp.asarray(noise_power, jnp.float32), (B,))
     alpha_step = per(jnp.asarray(alpha_step, jnp.float32), (B,))
     beta_noise = per(jnp.asarray(beta_noise, jnp.float32), (B,))
+    if capture_level is not None:
+        capture_level = per(jnp.asarray(capture_level, jnp.int32), (B,))
 
     sampler = jax.jit(
-        lambda a, y, npow, x0, k, al, be, orc: annealed_langevin_posterior_c2(
+        lambda a, y, npow, x0, k, al, be, orc, cap:
+        annealed_langevin_posterior_c2(
             score_fn, a, y, sigmas, npow, x0, k,
-            alpha_step=al, beta_noise=be, steps_each=steps_each, oracle=orc))
+            alpha_step=al, beta_noise=be, steps_each=steps_each, oracle=orc,
+            capture_level=cap))
 
     finals, traces = [], []
     for start in range(0, B, chunk):
@@ -79,21 +86,26 @@ def langevin_chunked(
         parts = [A2[sl], Y2[sl], noise_power[sl], x2_init[sl]]
         hp = [alpha_step[sl], beta_noise[sl]]
         orc = oracle2[sl] if oracle2 is not None else None
+        cap = capture_level[sl] if capture_level is not None else None
         n_valid = parts[0].shape[0]
         if n_valid < chunk:  # pad the ragged tail to reuse the executable
             parts = [pad_to_multiple(p, chunk)[0] for p in parts]
             hp = [pad_to_multiple(p, chunk)[0] for p in hp]
             if orc is not None:
                 orc = pad_to_multiple(orc, chunk)[0]
+            if cap is not None:
+                cap = pad_to_multiple(cap, chunk)[0]
         if mesh is not None:
             parts = [jax.device_put(p, data_sharding(mesh, p.ndim))
                      for p in parts]
             hp = [jax.device_put(p, data_sharding(mesh, p.ndim)) for p in hp]
             if orc is not None:
                 orc = jax.device_put(orc, data_sharding(mesh, orc.ndim))
+            if cap is not None:
+                cap = jax.device_put(cap, data_sharding(mesh, cap.ndim))
         k_chunk = jax.random.fold_in(key, start)
         xf2, trace = sampler(parts[0], parts[1], parts[2], parts[3], k_chunk,
-                             hp[0], hp[1], orc)
+                             hp[0], hp[1], orc, cap)
         finals.append(cplx.to_complex(jax.device_get(xf2))[:n_valid])
         if trace is not None:
             traces.append(np.asarray(jax.device_get(trace))[:, :n_valid])
@@ -139,7 +151,9 @@ def run_snr_sweep(
     beta_noise=None,
     chunk_size: Optional[int] = None,
     mesh=None,
-) -> np.ndarray:
+    stop_steps=None,
+    return_estimates: bool = False,
+):
     """One (spacing, pilot_alpha) sweep → nmse (n_snr, n_steps, n_channels).
 
     Reproduces test_score.py:107-171 semantics: channels fixed across SNR,
@@ -179,13 +193,22 @@ def run_snr_sweep(
 
     Y_b = physics.measure_c2(k_meas, A_b, X_b, npow_b)
 
-    _, trace = langevin_chunked(
+    cap_b = None
+    if stop_steps is not None:  # per-SNR early stop, trailing-step units
+        levels = np.asarray(stop_steps, np.int64) // sampling.steps_each
+        cap_b = jnp.repeat(jnp.asarray(levels, jnp.int32), C)
+
+    x_hat, trace = langevin_chunked(
         score_fn, A_b, Y_b, sigmas, npow_b, x0_b, k_run,
         al_b, be_b, steps_each=sampling.steps_each, oracle2=X_b,
-        chunk_size=chunk_size, mesh=mesh)
+        chunk_size=chunk_size, mesh=mesh, capture_level=cap_b)
     # (L·steps, S·C) → (S, steps, C)
     n_steps = trace.shape[0]
-    return np.transpose(trace.reshape(n_steps, S, C), (1, 0, 2))
+    nmse = np.transpose(trace.reshape(n_steps, S, C), (1, 0, 2))
+    if return_estimates:
+        est = x_hat.reshape(S, C, *x_hat.shape[1:])  # (S, C, Nt, Nr) complex
+        return nmse, est
+    return nmse
 
 
 def run_estimation(
@@ -204,6 +227,8 @@ def run_estimation(
     beta_noise=None,
     chunk_size: Optional[int] = None,
     mesh=None,
+    stop_steps=None,
+    save_channels_to: Optional[str] = None,
 ) -> EstimationResults:
     """Full test_score.py reproduction incl. cross-distribution (OOD) eval.
 
@@ -225,6 +250,7 @@ def run_estimation(
     nmse_log = np.zeros((n_sp, n_al, S, n_steps, num_channels), np.float32)
 
     key = jax.random.key(seed)
+    saved_est, saved_oracle = {}, {}
     for i_sp, spacing in enumerate(spacing_range):
         for i_al, pilot_alpha in enumerate(pilot_alpha_range):
             num_pilots = int(np.floor(config.data.num_tx * pilot_alpha))
@@ -235,10 +261,28 @@ def run_estimation(
                                     norm=list(train_ds.norm_stats),
                                     num_pilots=num_pilots)
             k = jax.random.fold_in(key, i_sp * n_al + i_al)
-            nmse_log[i_sp, i_al] = run_snr_sweep(
+            out = run_snr_sweep(
                 score_fn, config, val_ds, snr_range, k,
                 num_channels=num_channels, alpha_step=alpha_step,
-                beta_noise=beta_noise, chunk_size=chunk_size, mesh=mesh)
+                beta_noise=beta_noise, chunk_size=chunk_size, mesh=mesh,
+                stop_steps=stop_steps,
+                return_estimates=save_channels_to is not None)
+            if save_channels_to is not None:
+                nmse_log[i_sp, i_al], est = out
+                tag = f"sp{i_sp}_al{i_al}"
+                saved_est[f"est_{tag}"] = est
+                saved_oracle[f"oracle_{tag}"] = val_ds.hermitian(
+                    normalized=True)[:num_channels]
+            else:
+                nmse_log[i_sp, i_al] = out
+    if save_channels_to is not None:
+        import os
+
+        os.makedirs(os.path.dirname(save_channels_to) or ".", exist_ok=True)
+        np.savez(save_channels_to, snr_range=snr_range,
+                 spacing_range=np.asarray(spacing_range),
+                 pilot_alpha_range=np.asarray(pilot_alpha_range),
+                 **saved_est, **saved_oracle)
 
     avg = nmse_log.mean(axis=-1)  # test_score.py:174
     best = avg.min(axis=-1)  # test_score.py:175
@@ -266,6 +310,11 @@ def main(argv=None):
     p.add_argument("--hparams", type=str, default=None,
                    help="tuner output npz: use per-SNR best (alpha, beta) "
                         "and report known-SNR stopping-step NMSE")
+    p.add_argument("--save_channels", type=str, default=None,
+                   help="save estimated + oracle channels to this npz "
+                        "(reference test_score.py:19 --save_channels); with "
+                        "--hparams the estimates are captured at the tuned "
+                        "per-SNR stopping steps")
     p.add_argument("--output", type=str, default=None,
                    help="default results/score/train-<tr>_test-<te>/results.npz")
     p.add_argument("--cache", type=str, default="/tmp/sbc_jax_cache")
@@ -304,7 +353,8 @@ def main(argv=None):
         spacing_range=tuple(args.spacing),
         pilot_alpha_range=tuple(args.pilot_alpha),
         num_channels=args.num_channels, chunk_size=args.chunk,
-        alpha_step=alpha_step, beta_noise=beta_noise)
+        alpha_step=alpha_step, beta_noise=beta_noise,
+        stop_steps=stop_steps, save_channels_to=args.save_channels)
 
     out = args.output or (f"results/score/train-{args.train}_test-{args.test}"
                           "/results.npz")

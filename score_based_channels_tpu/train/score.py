@@ -149,6 +149,30 @@ class ScoreTrainer:
             return jax.device_put(x, replicate(self.mesh))
         return jax.device_put(x, data_sharding(self.mesh, x.ndim))
 
+    def restore_state(self, checkpoint_path: str) -> ScoreTrainState:
+        """Resume: rebuild the full train state (params/EMA/optimizer/step)
+        from a checkpoint — the capability the reference only has in its
+        dead vendored runner (ncsn_runner.py:67-76; SURVEY.md §5)."""
+        from ..utils.checkpoint import load_checkpoint
+
+        ck = load_checkpoint(checkpoint_path)
+        key = jax.random.key(0)
+        state = self.init_state(key)
+        params = jax.tree_util.tree_map(jnp.asarray, ck["params"])
+        ema = (jax.tree_util.tree_map(jnp.asarray, ck["ema"])
+               if ck["ema"] is not None else params)
+        opt_state = state.opt_state
+        if ck["opt_leaves"] is not None:
+            treedef = jax.tree_util.tree_structure(state.opt_state)
+            opt_state = jax.tree_util.tree_unflatten(
+                treedef, [jnp.asarray(l) for l in ck["opt_leaves"]])
+        step = jnp.asarray(ck["metadata"].get("steps", 0), jnp.int32)
+        state = ScoreTrainState(params=params, opt_state=opt_state,
+                                ema_params=ema, step=step)
+        if self.mesh is not None:
+            state = jax.device_put(state, replicate(self.mesh))
+        return state
+
     def train(
         self,
         train_seed: int = 1234,
@@ -156,6 +180,7 @@ class ScoreTrainer:
         rng_seed: Optional[int] = None,
         checkpoint_path: Optional[str] = None,
         n_epochs: Optional[int] = None,
+        resume_from: Optional[str] = None,
         log_fn: Callable[[str], None] = print,
     ) -> Tuple[ScoreTrainState, dict]:
         cfg = self.config
@@ -170,7 +195,11 @@ class ScoreTrainer:
 
         key = jax.random.key(rng_seed)
         key, k_init = jax.random.split(key)
-        state = self.init_state(k_init)
+        if resume_from:
+            state = self.restore_state(resume_from)
+            key = jax.random.fold_in(key, int(state.step))
+        else:
+            state = self.init_state(k_init)
 
         batch = cfg.training.batch_size
         n = x_train.shape[0]
