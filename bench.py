@@ -38,6 +38,10 @@ def main() -> None:
     p.add_argument("--checkpoint", type=str,
                    default="models/score/CDL-C/final_model.npz",
                    help="optional trained checkpoint (random init if absent)")
+    p.add_argument("--precision", type=str, default=None,
+                   choices=["default", "high", "highest"],
+                   help="global matmul precision (TPU: default=1-pass bf16, "
+                        "highest=3-pass; parity budget 0.25 dB)")
     args = p.parse_args()
 
     if args.smoke:
@@ -53,6 +57,8 @@ def main() -> None:
     # compile; cache it across bench invocations
     jax.config.update("jax_compilation_cache_dir", "/tmp/sbc_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    if args.precision:
+        jax.config.update("jax_default_matmul_precision", args.precision)
     import jax.numpy as jnp
 
     from score_based_channels_tpu import cplx, physics

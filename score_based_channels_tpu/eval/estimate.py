@@ -80,8 +80,16 @@ def langevin_chunked(
             alpha_step=al, beta_noise=be, steps_each=steps_each, oracle=orc,
             capture_level=cap))
 
+    import sys
+    import time as _time
+
+    t0 = _time.time()
     finals, traces = [], []
     for start in range(0, B, chunk):
+        if start:
+            rate = start / (_time.time() - t0)
+            print(f"# langevin {start}/{B} ({rate:.1f} est/s)",
+                  file=sys.stderr, flush=True)
         sl = slice(start, min(start + chunk, B))
         parts = [A2[sl], Y2[sl], noise_power[sl], x2_init[sl]]
         hp = [alpha_step[sl], beta_noise[sl]]

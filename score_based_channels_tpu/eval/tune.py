@@ -128,8 +128,10 @@ def run_hparam_search(
         trace.reshape(n_steps, nA, nB, S, C), (1, 2, 3, 0, 4))
 
     avg = nmse_log.mean(axis=-1)
-    best = avg.min(axis=-1)  # (nA, nB, S)
-    best_step = avg.argmin(axis=-1)  # (nA, nB, S)
+    # NaN-safe: diverged (α, β) combos must never win the argmin
+    avg_safe = np.where(np.isfinite(avg), avg, np.inf)
+    best = avg_safe.min(axis=-1)  # (nA, nB, S)
+    best_step = avg_safe.argmin(axis=-1)  # (nA, nB, S)
 
     # per-SNR best combo (tune_hparams_score.py:155-162)
     best_alpha_snr = np.zeros(S)

@@ -106,6 +106,14 @@ class InstanceNorm2dPlus(nn.Module):
         alpha = self.param("alpha", _normal_init, (self.features,))
         gamma = self.param("gamma", _normal_init, (self.features,))
 
+        from ..kernels.instance_norm import (
+            instance_norm_plus_pallas, kernels_enabled,
+        )
+
+        if self.bias and kernels_enabled():
+            beta = self.param("beta", nn.initializers.zeros, (self.features,))
+            return instance_norm_plus_pallas(x, alpha, gamma, beta)
+
         means = jnp.mean(x, axis=(1, 2))  # (B, C)
         m = jnp.mean(means, axis=-1, keepdims=True)
         v = jnp.var(means, axis=-1, keepdims=True, ddof=1)
@@ -123,10 +131,68 @@ class InstanceNorm2dPlus(nn.Module):
         return out
 
 
+class InstanceNorm2d(nn.Module):
+    """Plain instance norm with affine params (normalization.py InstanceNorm
+    branch; torch InstanceNorm2d(affine=True) semantics)."""
+
+    features: int
+    bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        mu = jnp.mean(x, axis=(1, 2), keepdims=True)
+        var = jnp.var(x, axis=(1, 2), keepdims=True)
+        h = (x - mu) / jnp.sqrt(var + 1e-5)
+        gamma = self.param("gamma", nn.initializers.ones, (self.features,))
+        out = gamma * h
+        if self.bias:
+            beta = self.param("beta", nn.initializers.zeros, (self.features,))
+            out = out + beta
+        return out
+
+
+class VarianceNorm2d(nn.Module):
+    """Variance-only norm (normalization.py:107-121): h = x/std, scaled."""
+
+    features: int
+    bias: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        def _normal_init(key, shape):
+            return 1.0 + 0.02 * jax.random.normal(key, shape, jnp.float32)
+
+        var = jnp.var(x, axis=(1, 2), keepdims=True, ddof=1)  # torch.var
+        h = x / jnp.sqrt(var + 1e-5)
+        alpha = self.param("alpha", _normal_init, (self.features,))
+        out = alpha * h
+        if self.bias:
+            beta = self.param("beta", nn.initializers.zeros, (self.features,))
+            out = out + beta
+        return out
+
+
+class NoneNorm2d(nn.Module):
+    """Identity (normalization.py:142-147)."""
+
+    features: int
+    bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        return x
+
+
 def get_normalization(name: str) -> Callable[..., nn.Module]:
     """Norm factory for the unconditional path (normalization.py:8-33)."""
     if name == "InstanceNorm++":
         return InstanceNorm2dPlus
+    if name == "InstanceNorm":
+        return InstanceNorm2d
+    if name == "VarianceNorm":
+        return VarianceNorm2d
+    if name == "None":
+        return NoneNorm2d
     raise NotImplementedError(f"normalization {name!r} not implemented")
 
 

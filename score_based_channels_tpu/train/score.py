@@ -182,6 +182,7 @@ class ScoreTrainer:
         n_epochs: Optional[int] = None,
         resume_from: Optional[str] = None,
         log_fn: Callable[[str], None] = print,
+        metrics_path: Optional[str] = None,
     ) -> Tuple[ScoreTrainState, dict]:
         cfg = self.config
         n_epochs = n_epochs if n_epochs is not None else cfg.training.n_epochs
@@ -201,6 +202,9 @@ class ScoreTrainer:
         else:
             state = self.init_state(k_init)
 
+        from ..utils.metrics import MetricsLogger
+
+        metrics = MetricsLogger(metrics_path)
         batch = cfg.training.batch_size
         n = x_train.shape[0]
         steps_per_epoch = n // batch  # drop_last=True (train_score.py:75)
@@ -229,6 +233,9 @@ class ScoreTrainer:
                         f"Epoch {epoch}, Step {step}, "
                         f"Train Loss (EMA) {running:.3f}, Val. Loss {v:.3f}, "
                         f"{step / (time.time() - t0):.2f} steps/s")
+                    metrics.log("val", epoch=epoch, step=step,
+                                train_loss_ema=running, val_loss=v,
+                                steps_per_s=step / (time.time() - t0))
 
         logs = {"train_loss": np.asarray(train_loss_log),
                 "val_loss": np.asarray(val_loss_log),

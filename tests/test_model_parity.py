@@ -123,3 +123,37 @@ def test_deepest_param_count_full_size():
     params = model.init(jax.random.key(0), x, jnp.float32(1.0))["params"]
     n = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
     assert n == 5_890_082  # measured on the reference (SURVEY.md §6)
+
+
+@pytest.mark.parametrize("norm", ["InstanceNorm", "VarianceNorm", "None"])
+def test_norm_variants_parity(norm):
+    """The alternative norm factories match the reference semantics."""
+    from ncsnv2.models import normalization as ref_norm
+
+    torch.manual_seed(3)
+    if norm == "InstanceNorm":
+        # reference maps 'InstanceNorm' to torch nn.InstanceNorm2d with
+        # affine=True (normalization.py get_normalization)
+        ref = torch.nn.InstanceNorm2d(8, affine=True)
+        with torch.no_grad():
+            ref.weight.normal_(1.0, 0.3)
+            ref.bias.normal_(0.0, 0.3)
+        params = {"gamma": ref.weight.detach().numpy(),
+                  "beta": ref.bias.detach().numpy()}
+    elif norm == "VarianceNorm":
+        ref = ref_norm.VarianceNorm2d(8)
+        params = {"alpha": ref.alpha.detach().numpy()}
+    else:
+        ref = ref_norm.NoneNorm2d(8)
+        params = {}
+
+    from score_based_channels_tpu.models.layers import get_normalization
+
+    ours = get_normalization(norm)(8)
+    x = np.random.RandomState(0).randn(3, 8, 6, 4).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+    x_nhwc = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    got = ours.apply({"params": params}, x_nhwc)
+    got_nchw = np.transpose(np.asarray(got), (0, 3, 1, 2))
+    np.testing.assert_allclose(got_nchw, want, rtol=1e-4, atol=1e-5)
