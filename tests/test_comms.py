@@ -101,3 +101,20 @@ def test_link_sim_estimated_csi_degrades_gracefully():
     assert res.ber_ideal[1] <= 0.05
     # estimated CSI with 30% error must be no better than ideal
     assert res.ber_est[1] >= res.ber_ideal[1] - 1e-9
+
+
+def test_zf_sic_noiseless_recovers_bits():
+    from score_based_channels_tpu.comms.mimo import mimo_zf_sic_llr
+
+    key = jax.random.key(7)
+    kh = key
+    B, L, Nr, Ns = 2, 12, 16, 4
+    H = cplx.randn(kh, (B, Nr, Ns))
+    rng = np.random.default_rng(8)
+    bits = rng.integers(0, 2, (B, L, 2 * Ns), dtype=np.uint8)
+    s = qpsk_modulate(jnp.asarray(bits.reshape(B, -1))).reshape(B, L, Ns, 2)
+    Y = cplx.matmul(s, cplx.transpose(H))
+    llr = mimo_zf_sic_llr(Y, H, 0.01, n_streams=Ns)
+    assert llr.shape == (B, L, 2 * Ns)
+    hard = (np.asarray(llr) < 0).astype(np.uint8)
+    np.testing.assert_array_equal(hard, bits)
