@@ -74,6 +74,15 @@ def run_mmse_estimation(
     sampling = cfg.sampling
     alpha_step = sampling.alpha_step if alpha_step is None else alpha_step
     beta_noise = sampling.beta_noise if beta_noise is None else beta_noise
+    S_ = len(snr_range)
+
+    def _per_sample(hp, C_, R_):
+        """scalar or per-SNR (S,) hyper-parameter → (R·S·C,) per-sample."""
+        hp = np.asarray(hp, np.float32)
+        if hp.ndim == 0:
+            return hp
+        assert hp.shape == (S_,)
+        return jnp.tile(jnp.repeat(jnp.asarray(hp), C_), (R_,))
 
     train_cfg = dataclasses.replace(cfg.data, channel=channel)
     train_ds = ChannelDataset(train_seed, train_cfg, norm="global")
@@ -121,17 +130,29 @@ def run_mmse_estimation(
         x0_b = x0_b + cplx.scale(cplx.randn(ki, x0_b.shape[:-1]), 0.01)
 
     B = A_b.shape[0]
+    al_b = jnp.broadcast_to(_per_sample(alpha_step, C, R), (B,))
+    be_b = jnp.broadcast_to(_per_sample(beta_noise, C, R), (B,))
+    cap_b = None
+    if stop_step is not None:
+        lvls = (np.asarray(stop_step, np.int64)
+                // sampling.steps_each).astype(np.int32)
+        if lvls.ndim == 0:
+            lvls = np.full((S_,), int(lvls), np.int32)
+        cap_b = jnp.tile(jnp.repeat(jnp.asarray(lvls), C), (R,))
     chunk = chunk_size or B
-    sampler = jax.jit(lambda a, y, npw, x0, k: annealed_langevin_posterior_c2(
-        score_fn, a, y, sigmas, npw, x0, k,
-        alpha_step=alpha_step, beta_noise=beta_noise,
-        steps_each=sampling.steps_each, oracle=None))
+    sampler = jax.jit(lambda a, y, npw, x0, k, al, be, cap:
+                      annealed_langevin_posterior_c2(
+                          score_fn, a, y, sigmas, npw, x0, k,
+                          alpha_step=al, beta_noise=be,
+                          steps_each=sampling.steps_each, oracle=None,
+                          capture_level=cap))
     finals = []
     for start in range(0, B, chunk):
         sl = slice(start, start + chunk)
         xf, _ = sampler(A_b[sl], Y_b[sl], npow_b[sl], x0_b[sl],
-                        jax.random.fold_in(kr, start))
-        finals.append(np.asarray(jax.device_get(xf)))
+                        jax.random.fold_in(kr, start), al_b[sl], be_b[sl],
+                        cap_b[sl] if cap_b is not None else None)
+        finals.append(np.asarray(jax.device_get(xf)))  # c2, real — safe
     xf = np.concatenate(finals, 0).reshape(R, S, C, *X2.shape[1:])
 
     mean_est = xf.mean(axis=0)  # posterior mean (S, C, Nt, Nr, 2)
