@@ -216,7 +216,9 @@ def run_lasso_baseline(
         nmse_log[i_al] = complete[i_al, ..., -1, :]
 
     # per-(α, SNR) best over the (λ, lr) grid (test_l1Fourier_lifted.py:191-211)
+    # NaN-safe: diverged (λ, lr) combos must never win
     avg = nmse_log.mean(-1)  # (nA, nL, nR, S)
+    avg = np.where(np.isfinite(avg), avg, np.inf)
     best_nmse = np.zeros((nA, S))
     best_lmbda = np.zeros((nA, S))
     best_lr = np.zeros((nA, S))
