@@ -42,6 +42,8 @@ def main() -> None:
                    choices=["default", "high", "highest"],
                    help="global matmul precision (TPU: default=1-pass bf16, "
                         "highest=3-pass; parity budget 0.25 dB)")
+    p.add_argument("--pallas-norm", action="store_true",
+                   help="use the fused Pallas InstanceNorm++ kernel")
     args = p.parse_args()
 
     if args.smoke:
@@ -59,6 +61,10 @@ def main() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     if args.precision:
         jax.config.update("jax_default_matmul_precision", args.precision)
+    if args.pallas_norm:
+        from score_based_channels_tpu.kernels import set_kernels_enabled
+
+        set_kernels_enabled(True)
     import jax.numpy as jnp
 
     from score_based_channels_tpu import cplx, physics

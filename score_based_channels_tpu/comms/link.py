@@ -148,7 +148,15 @@ def run_link_simulation(
 
 def main(argv=None):
     """CLI: coded BER/BLER with estimated vs ideal CSI
-    (test_end_to_end.m:38-60 — estimation and data SNRs are matched)."""
+    (test_end_to_end.m:38-60 — estimation and data SNRs are matched).
+
+    Runs on the CPU backend: this is an offline evaluation (MATLAB in the
+    reference), and the experimental TPU tunnel's compiler crashes on the
+    large dense BP-decoder scan.
+    """
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
     import argparse
 
     p = argparse.ArgumentParser(description="End-to-end coded link sim")

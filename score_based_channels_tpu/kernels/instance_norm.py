@@ -15,6 +15,14 @@ one-sample block always fits.
 Used by models/layers.InstanceNorm2dPlus when kernels are enabled
 (set_kernels_enabled(True)); the jnp path remains the reference
 implementation and the parity oracle.
+
+MEASURED VERDICT (v5e, bench.py --pallas-norm): at this model's tensor
+sizes (≤ 256×64×16×32) the kernel is ~10× SLOWER than XLA's fused
+reductions — a one-sample-per-program grid is launch-overhead-bound and
+breaks XLA's cross-op fusion. It therefore defaults OFF and exists as the
+validated template for future fusion work (e.g. whole-residual-block
+kernels at larger batch); per SURVEY.md §7.2 step 8, Pallas is only
+adopted "where profiles justify", and here the profile says XLA wins.
 """
 
 from __future__ import annotations
