@@ -118,3 +118,42 @@ def test_mmse_posterior_averaging_runs():
     assert res.nmse_single.shape == (1, 3)
     # averaging posterior samples must not hurt vs a single sample (on avg)
     assert res.nmse_mean_est.mean() <= res.nmse_single.mean() * 1.2
+
+
+def test_em_bg_amp_recovers_sparse_signal():
+    """Noiseless-ish full pilots + sparse Z → AMP must reconstruct."""
+    from score_based_channels_tpu.baselines.amp import em_bg_amp
+    from score_based_channels_tpu.baselines.lasso import lifted_fourier_dicts
+
+    rng = np.random.default_rng(0)
+    Nt, Nr, lift = 16, 8, 2
+    L, R = lifted_fourier_dicts(Nt, Nr, lift)
+    Z = np.zeros((Nt * lift, Nr * lift), np.complex64)
+    for _ in range(3):
+        Z[rng.integers(Nt * lift), rng.integers(Nr * lift)] = (
+            rng.standard_normal() + 1j * rng.standard_normal())
+    H = (L @ Z @ R).astype(np.complex64)
+
+    P2 = cplx.qpsk_pilots(jax.random.key(2), 1, Nt, Nt)
+    A2 = cplx.conj_transpose(P2)
+    X2 = cplx.from_complex(H[None])
+    Y2 = cplx.matmul(A2, X2)
+    Y2 = Y2 + 1e-3 * cplx.randn(jax.random.key(3), Y2.shape[:-1])
+
+    _, trace = em_bg_amp(A2, Y2, cplx.from_complex(L), cplx.from_complex(R),
+                         num_iters=60, oracle2=X2)
+    assert trace.shape == (60, 1)
+    best = float(np.nanmin(np.asarray(trace)))
+    assert best < 0.05, f"AMP failed: best NMSE {best}"
+
+
+def test_amp_runner_shapes():
+    from score_based_channels_tpu.baselines.amp import run_amp_baseline
+
+    cfg = tiny_cfg()
+    res = run_amp_baseline(cfg, snr_range=np.array([10.0, 30.0]),
+                           num_iters=25, num_channels=4)
+    assert res.nmse_trace.shape == (2, 25, 4)
+    db = res.best_db()
+    assert np.all(np.isfinite(db))
+    assert db[1] < db[0]  # higher SNR helps
