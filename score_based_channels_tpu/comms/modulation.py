@@ -5,8 +5,6 @@ Gray-mapped QPSK: bits (b0, b1) → ((1−2·b0) + j(1−2·b1))/√2, in c2.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

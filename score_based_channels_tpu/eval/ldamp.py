@@ -11,7 +11,6 @@ import os
 from typing import Optional, Sequence
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from .. import cplx
