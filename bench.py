@@ -44,6 +44,9 @@ def main() -> None:
                         "highest=3-pass; parity budget 0.25 dB)")
     p.add_argument("--pallas-norm", action="store_true",
                    help="use the fused Pallas InstanceNorm++ kernel")
+    p.add_argument("--profile", type=str, default=None,
+                   help="capture a jax.profiler trace of the timed run "
+                        "into this directory (view with xprof/tensorboard)")
     args = p.parse_args()
 
     if args.smoke:
@@ -125,10 +128,18 @@ def main() -> None:
     print(f"# first run (incl. compile): {compile_and_first:.1f}s",
           file=sys.stderr)
 
-    t0 = time.time()
-    trace, _ = run(A, Y, x0, jax.random.fold_in(k_run, 1))
-    jax.block_until_ready(trace)
-    dt = time.time() - t0
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            t0 = time.time()
+            trace, _ = run(A, Y, x0, jax.random.fold_in(k_run, 1))
+            jax.block_until_ready(trace)
+            dt = time.time() - t0
+        print(f"# profiler trace written to {args.profile}", file=sys.stderr)
+    else:
+        t0 = time.time()
+        trace, _ = run(A, Y, x0, jax.random.fold_in(k_run, 1))
+        jax.block_until_ready(trace)
+        dt = time.time() - t0
 
     nfes = batch * levels * steps_each
     est_per_s = batch / dt
