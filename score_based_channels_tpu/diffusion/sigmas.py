@@ -37,6 +37,27 @@ def sigmas_from_config(model_cfg) -> jnp.ndarray:
     )
 
 
+def subsample_schedule(sigmas, stride: int):
+    """Shortcut inference: keep every `stride`-th σ-level (always keeping
+    σ_end) and the α-compensation factor.
+
+    With a geometric schedule, striding by k multiplies the per-level
+    variance gap by ~k, so the Langevin step size α_step should scale by
+    ~k to cover the same ground (the reference has no such knob; see
+    PAPERS.md shortcut-sampling refs for the general idea).
+
+    Returns (sub_sigmas, alpha_scale).
+    """
+    import jax.numpy as jnp
+
+    if stride <= 1:
+        return sigmas, 1.0
+    sub = sigmas[::stride]
+    if float(sub[-1]) != float(sigmas[-1]):
+        sub = jnp.concatenate([sub, sigmas[-1:]])
+    return sub, float(stride)
+
+
 def song_step_size(
     sigma_end: float,
     num_classes: int,

@@ -161,6 +161,7 @@ def run_snr_sweep(
     mesh=None,
     stop_steps=None,
     return_estimates: bool = False,
+    level_stride: int = 1,
 ):
     """One (spacing, pilot_alpha) sweep → nmse (n_snr, n_steps, n_channels).
 
@@ -176,6 +177,13 @@ def run_snr_sweep(
     sampling = cfg.sampling
     alpha_step = (sampling.alpha_step if alpha_step is None else alpha_step)
     beta_noise = (sampling.beta_noise if beta_noise is None else beta_noise)
+    if level_stride > 1:  # shortcut inference (speed/quality knob)
+        from ..diffusion.sigmas import subsample_schedule
+
+        sigmas, alpha_scale = subsample_schedule(sigmas, level_stride)
+        alpha_step = np.asarray(alpha_step) * alpha_scale
+        if stop_steps is not None:
+            stop_steps = np.asarray(stop_steps) // level_stride
 
     k_pilot, k_init, k_meas, k_run = jax.random.split(key, 4)
 
@@ -237,6 +245,7 @@ def run_estimation(
     mesh=None,
     stop_steps=None,
     save_channels_to: Optional[str] = None,
+    level_stride: int = 1,
 ) -> EstimationResults:
     """Full test_score.py reproduction incl. cross-distribution (OOD) eval.
 
@@ -254,7 +263,13 @@ def run_estimation(
                               norm=config.data.norm_channels)
 
     n_sp, n_al, S = len(spacing_range), len(pilot_alpha_range), len(snr_range)
-    n_steps = config.model.num_classes * config.sampling.steps_each
+    n_levels = config.model.num_classes
+    if level_stride > 1:
+        from ..diffusion.sigmas import sigmas_from_config, subsample_schedule
+
+        n_levels = subsample_schedule(
+            sigmas_from_config(config.model), level_stride)[0].shape[0]
+    n_steps = n_levels * config.sampling.steps_each
     nmse_log = np.zeros((n_sp, n_al, S, n_steps, num_channels), np.float32)
 
     key = jax.random.key(seed)
@@ -273,7 +288,7 @@ def run_estimation(
                 score_fn, config, val_ds, snr_range, k,
                 num_channels=num_channels, alpha_step=alpha_step,
                 beta_noise=beta_noise, chunk_size=chunk_size, mesh=mesh,
-                stop_steps=stop_steps,
+                stop_steps=stop_steps, level_stride=level_stride,
                 return_estimates=save_channels_to is not None)
             if save_channels_to is not None:
                 nmse_log[i_sp, i_al], est = out
@@ -318,6 +333,10 @@ def main(argv=None):
     p.add_argument("--hparams", type=str, default=None,
                    help="tuner output npz: use per-SNR best (alpha, beta) "
                         "and report known-SNR stopping-step NMSE")
+    p.add_argument("--stride", type=int, default=1,
+                   help="shortcut inference: keep every k-th sigma level "
+                        "(alpha auto-scaled by k) — a speed/quality knob "
+                        "the reference lacks")
     p.add_argument("--save_channels", type=str, default=None,
                    help="save estimated + oracle channels to this npz "
                         "(reference test_score.py:19 --save_channels); with "
@@ -362,7 +381,8 @@ def main(argv=None):
         pilot_alpha_range=tuple(args.pilot_alpha),
         num_channels=args.num_channels, chunk_size=args.chunk,
         alpha_step=alpha_step, beta_noise=beta_noise,
-        stop_steps=stop_steps, save_channels_to=args.save_channels)
+        stop_steps=stop_steps, save_channels_to=args.save_channels,
+        level_stride=args.stride)
 
     out = args.output or (f"results/score/train-{args.train}_test-{args.test}"
                           "/results.npz")

@@ -126,3 +126,17 @@ def test_mesh_sharded_eval_matches():
     a = run_estimation(zero, cfg, **kwargs)
     b = run_estimation(zero, cfg, **kwargs, mesh=make_mesh())
     np.testing.assert_allclose(a.nmse_log, b.nmse_log, rtol=1e-5, atol=1e-7)
+
+
+def test_strided_shortcut_inference():
+    """level_stride subsamples the schedule and scales alpha; shapes and
+    finiteness hold, and a strided run is a valid (shorter) trace."""
+    cfg = tiny_config(num_classes=12)
+    zero = lambda x, s: jnp.zeros_like(x)
+    full = run_estimation(zero, cfg, snr_range=np.array([10.0]),
+                          num_channels=4, seed=2)
+    strided = run_estimation(zero, cfg, snr_range=np.array([10.0]),
+                             num_channels=4, seed=2, level_stride=3)
+    assert full.nmse_log.shape[3] == 12 * 3
+    assert strided.nmse_log.shape[3] == 5 * 3  # 12/3=4 levels + sigma_end
+    assert np.all(np.isfinite(strided.best_nmse))
