@@ -96,3 +96,40 @@ def test_io_roundtrip(tmp_path):
         save_output_h(p, H)
         back = load_output_h(p)
         np.testing.assert_allclose(back, H, rtol=1e-6)
+
+
+def test_dataset_file_source_roundtrip(tmp_path):
+    """generate → save artifact → load via source='file' (reference naming)."""
+    import jax
+    from score_based_channels_tpu.data.io import save_output_h
+    from score_based_channels_tpu.data.dataset import channel_filename
+    from score_based_channels_tpu.data.cdl import generate_cdl_channels
+
+    H = generate_cdl_channels(seed=4321, profile="CDL-C", num_channels=5)
+    path = channel_filename(str(tmp_path), "CDL-C", 64, 16, 0.5, 4321)
+    save_output_h(path, H)
+
+    cfg = Config()
+    data = dataclasses.replace(cfg.data, source="file",
+                               data_dir=str(tmp_path), num_channels=5)
+    ds = ChannelDataset(4321, data, norm="global")
+    assert len(ds) == 5
+    np.testing.assert_allclose(ds.channels, H[:, 0], rtol=1e-6)
+
+
+def test_dataset_multiple_spacings_concatenate():
+    cfg = Config()
+    data = dataclasses.replace(cfg.data, spacing_list=(0.5, 0.25),
+                               num_channels=4)
+    ds = ChannelDataset(1234, data, norm="global")
+    assert len(ds) == 8  # 4 per spacing (loaders.py:36-38 reshape)
+
+
+def test_dataset_entrywise_norm():
+    cfg = Config()
+    data = dataclasses.replace(cfg.data, num_channels=6)
+    ds = ChannelDataset(1234, data, norm="entrywise")
+    assert np.asarray(ds.mean).shape == (16, 64)
+    normed = ds.normalized()
+    np.testing.assert_allclose(np.abs(normed.mean(0)), 0, atol=1e-5)
+    np.testing.assert_allclose(normed.std(0), 1.0, rtol=1e-3)
