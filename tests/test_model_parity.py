@@ -157,3 +157,19 @@ def test_norm_variants_parity(norm):
     got = ours.apply({"params": params}, x_nhwc)
     got_nchw = np.transpose(np.asarray(got), (0, 3, 1, 2))
     np.testing.assert_allclose(got_nchw, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("act", ["elu", "relu", "lrelu", "swish"])
+def test_activation_parity(act):
+    from ncsnv2.models.layers import get_act as ref_get_act
+    from score_based_channels_tpu.models.layers import get_act
+
+    cfg = _NS()
+    cfg.model = _NS(nonlinearity=act)
+    ref = ref_get_act(cfg)
+    ours = get_act(act)
+    x = np.linspace(-3, 3, 101).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+    np.testing.assert_allclose(np.asarray(ours(jnp.asarray(x))), want,
+                               rtol=1e-5, atol=1e-6)
