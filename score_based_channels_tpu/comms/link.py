@@ -24,7 +24,7 @@ import numpy as np
 
 from .. import cplx
 from .ldpc import LDPCCode, make_wifi_like_ldpc, minsum_decode
-from .mimo import mimo_ml_llr
+from .mimo import mimo_kbest_llr, mimo_ml_llr, mimo_zf_sic_llr
 from .modulation import qpsk_modulate
 
 Array = jax.Array
@@ -59,6 +59,7 @@ def simulate_packets(
     n_streams: int = 4,
     num_bp_iters: int = 25,
     max_log: bool = False,
+    detector: str = "ml",  # ComputeLLRMIMO.m mode: ml | kbest | zf-sic
     seed: int = 5,
 ) -> Tuple[dict, dict]:
     """One SNR point over a batch of packets → (ideal-CSI, est-CSI) stats."""
@@ -95,8 +96,17 @@ def simulate_packets(
 
     out = {}
     for name, Heff in (("ideal", Heff_true), ("est", Heff_est)):
-        llr = mimo_ml_llr(y, Heff, noise_pow / 2.0, n_streams=n_streams,
-                          max_log=max_log)  # (B, L, 2Ns)
+        if detector == "ml":
+            llr = mimo_ml_llr(y, Heff, noise_pow / 2.0, n_streams=n_streams,
+                              max_log=max_log)  # (B, L, 2Ns)
+        elif detector == "kbest":
+            llr = mimo_kbest_llr(y, Heff, noise_pow / 2.0,
+                                 n_streams=n_streams)
+        elif detector == "zf-sic":
+            llr = mimo_zf_sic_llr(y, Heff, noise_pow / 2.0,
+                                  n_streams=n_streams)
+        else:
+            raise ValueError(f"unknown detector {detector!r}")
         llr_flat = llr.reshape(B, n)
         # de-interleave
         llr_d = jnp.zeros_like(llr_flat).at[:, perm].set(llr_flat)
@@ -119,6 +129,7 @@ def run_link_simulation(
     snr_range=np.arange(-10, 12.5, 2.5),
     n_streams: int = 4,
     num_bp_iters: int = 25,
+    detector: str = "ml",
     seed: int = 0,
 ) -> LinkResults:
     """BER/BLER sweep with ideal vs estimated CSI (test_end_to_end.m:38-60)."""
@@ -135,7 +146,8 @@ def run_link_simulation(
         est_i = H_est2[i] if per_snr_est else H_est2
         ideal, est = simulate_packets(
             jax.random.fold_in(key, i), H_true2, est_i, float(snr), code,
-            n_streams=n_streams, num_bp_iters=num_bp_iters)
+            n_streams=n_streams, num_bp_iters=num_bp_iters,
+            detector=detector)
         bi.append(ideal["ber"])
         be.append(est["ber"])
         li.append(ideal["bler"])
@@ -169,6 +181,10 @@ def main(argv=None):
                    help="subset of the estimation SNR grid to simulate")
     p.add_argument("--streams", type=int, default=4)
     p.add_argument("--bp_iters", type=int, default=25)
+    p.add_argument("--detector", type=str, default="ml",
+                   choices=["ml", "kbest", "zf-sic"],
+                   help="soft demapper (ComputeLLRMIMO.m mode): exact-ML "
+                        "enumeration, K-best tree search, or ZF-SIC")
     p.add_argument("--output", type=str, default=None)
     args = p.parse_args(argv)
 
@@ -189,7 +205,8 @@ def main(argv=None):
 
     res = run_link_simulation(
         H_true, cplx.from_complex(H_est), snr_range=snr_grid,
-        n_streams=args.streams, num_bp_iters=args.bp_iters)
+        n_streams=args.streams, num_bp_iters=args.bp_iters,
+        detector=args.detector)
     for i, snr in enumerate(res.snr_range):
         print(f"SNR {snr:6.1f} dB  BER ideal {res.ber_ideal[i]:.4f} "
               f"est {res.ber_est[i]:.4f}  BLER ideal {res.bler_ideal[i]:.3f} "

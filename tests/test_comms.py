@@ -118,3 +118,69 @@ def test_zf_sic_noiseless_recovers_bits():
     assert llr.shape == (B, L, 2 * Ns)
     hard = (np.asarray(llr) < 0).astype(np.uint8)
     np.testing.assert_array_equal(hard, bits)
+
+
+def test_kbest_full_beam_matches_ml_maxlog():
+    # with k_best >= 4^Ns the breadth-first search is exhaustive; LLRs
+    # must equal exact-ML max-log (the ||(I-QQ^H)y||^2 offset cancels
+    # in the LLR difference)
+    from score_based_channels_tpu.comms.mimo import mimo_kbest_llr
+
+    key = jax.random.key(11)
+    kh, ky = jax.random.split(key)
+    H = cplx.randn(kh, (2, 16, 4))
+    Y = cplx.randn(ky, (2, 6, 16))
+    ml = mimo_ml_llr(Y, H, 1.0, max_log=True, clip=50.0)
+    kb = mimo_kbest_llr(Y, H, 1.0, k_best=256, clip=50.0)
+    np.testing.assert_allclose(np.asarray(kb), np.asarray(ml),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_kbest_small_beam_noiseless_recovers_bits():
+    from score_based_channels_tpu.comms.mimo import mimo_kbest_llr
+
+    key = jax.random.key(13)
+    kh, _ = jax.random.split(key)
+    B, L, Nr, Ns = 2, 10, 16, 4
+    H = cplx.randn(kh, (B, Nr, Ns))
+    rng = np.random.default_rng(14)
+    bits = rng.integers(0, 2, (B, L, 2 * Ns), dtype=np.uint8)
+    s = qpsk_modulate(jnp.asarray(bits.reshape(B, -1))).reshape(B, L, Ns, 2)
+    Y = cplx.matmul(s, cplx.transpose(H))
+    llr = mimo_kbest_llr(Y, H, 0.01, k_best=16)
+    hard = (np.asarray(llr) < 0).astype(np.uint8)
+    np.testing.assert_array_equal(hard, bits)
+
+
+def test_c2_qr_reconstructs_and_is_orthonormal():
+    from score_based_channels_tpu.comms.mimo import _c2_qr
+
+    H = cplx.randn(jax.random.key(17), (3, 16, 4))
+    Q, R = _c2_qr(H)
+    QR = cplx.matmul(Q, R)
+    np.testing.assert_allclose(np.asarray(QR), np.asarray(H),
+                               rtol=1e-4, atol=1e-5)
+    QhQ = cplx.matmul(cplx.conj_transpose(Q), Q)
+    eye = np.zeros((3, 4, 4, 2), np.float32)
+    eye[:, np.arange(4), np.arange(4), 0] = 1.0
+    np.testing.assert_allclose(np.asarray(QhQ), eye, atol=1e-5)
+    # R upper-triangular with real-positive diagonal
+    Rn = np.asarray(R)
+    for i in range(4):
+        assert Rn[:, i, i, 0].min() > 0
+        np.testing.assert_allclose(Rn[:, i, i, 1], 0, atol=1e-6)
+        for j in range(i):
+            np.testing.assert_allclose(Rn[:, i, j], 0, atol=1e-6)
+
+
+def test_link_sim_kbest_detector_close_to_ml():
+    key = jax.random.key(21)
+    B, Nr, Nt = 8, 16, 64
+    H = np.asarray(cplx.to_complex(cplx.randn(key, (B, Nr, Nt))))
+    ml = run_link_simulation(H, H, snr_range=np.array([10.0]),
+                             num_bp_iters=12, detector="ml")
+    kb = run_link_simulation(H, H, snr_range=np.array([10.0]),
+                             num_bp_iters=12, detector="kbest")
+    # K-best (K=16) is near-ML at clean SNR: both links essentially error-free
+    assert ml.ber_ideal[0] <= 0.05
+    assert kb.ber_ideal[0] <= 0.05
