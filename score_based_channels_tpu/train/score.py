@@ -51,14 +51,15 @@ def make_optimizer(optim_cfg) -> optax.GradientTransformation:
     name = optim_cfg.optimizer.lower()
     if name == "adam":
         # torch Adam semantics: eps OUTSIDE the sqrt; optax.adam matches.
-        tx = optax.adam(optim_cfg.lr, b1=optim_cfg.beta1, b2=optim_cfg.beta2,
-                        eps=optim_cfg.eps)
+        adam = optax.amsgrad if optim_cfg.amsgrad else optax.adam
+        tx = adam(optim_cfg.lr, b1=optim_cfg.beta1, b2=optim_cfg.beta2,
+                  eps=optim_cfg.eps)
         if optim_cfg.weight_decay:
+            # torch couples weight decay into the Adam gradient
+            # (ncsnv2/losses/__init__.py:5-7 passes weight_decay to Adam),
+            # so decay is applied before the Adam transform for either variant
             tx = optax.chain(
                 optax.add_decayed_weights(optim_cfg.weight_decay), tx)
-        if optim_cfg.amsgrad:
-            tx = optax.amsgrad(optim_cfg.lr, b1=optim_cfg.beta1,
-                               b2=optim_cfg.beta2, eps=optim_cfg.eps)
         return tx
     if name == "rmsprop":
         return optax.rmsprop(optim_cfg.lr, decay=0.99, eps=1e-8)
@@ -69,15 +70,22 @@ def make_optimizer(optim_cfg) -> optax.GradientTransformation:
 
 def make_score_train_step(
     model, tx: optax.GradientTransformation, sigmas: Array,
-    ema_rate: float, anneal_power: float,
-) -> Callable:
-    """Build the jitted (state, x, key) → (state, loss) step."""
+    ema_rate: float, anneal_power: float, batch_sharding=None,
+) -> Tuple[Callable, Callable]:
+    """Build (jitted single step, jitted scanned chunk runner).
+
+    The chunk runner is the production path: it keeps `log_every_steps`
+    train steps entirely on device in one `lax.scan` — the host only sees
+    state + a loss vector per chunk. This removes the per-step
+    host↔device round-trips (`int(step)`, `float(loss)`, per-batch
+    `device_put`) that the reference's Python loop suffers from
+    (SURVEY.md §3.2) and that round 1 had reintroduced.
+    """
 
     def apply_fn(params, x, used_sigmas):
         return model.apply({"params": params}, x, used_sigmas)
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: ScoreTrainState, x: Array, key: Array):
+    def step(state: ScoreTrainState, x: Array, key: Array):
         def loss_fn(params):
             return anneal_dsm_loss(apply_fn, params, x, sigmas, key,
                                    anneal_power=anneal_power)
@@ -92,7 +100,29 @@ def make_score_train_step(
             loss,
         )
 
-    return train_step
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: ScoreTrainState, x: Array, key: Array):
+        return step(state, x, key)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_chunk(state: ScoreTrainState, x_all: Array, idx: Array,
+                    base_key: Array):
+        """Run idx.shape[0] steps on device. idx: (L, batch) gather indices
+        into the HBM-resident x_all; per-step RNG is fold_in(base_key,
+        global step) so results are chunk-size invariant."""
+
+        def body(carry, idx_row):
+            st = carry
+            x = jnp.take(x_all, idx_row, axis=0)
+            if batch_sharding is not None:
+                x = jax.lax.with_sharding_constraint(x, batch_sharding)
+            k = jax.random.fold_in(base_key, st.step)
+            st, loss = step(st, x, k)
+            return st, loss
+
+        return jax.lax.scan(body, state, idx)
+
+    return train_step, train_chunk
 
 
 def make_eval_loss(model, sigmas: Array, anneal_power: float) -> Callable:
@@ -118,9 +148,11 @@ class ScoreTrainer:
         self.tx = make_optimizer(config.optim)
         self.mesh = (make_mesh(num_devices)
                      if use_mesh and config.training.data_parallel else None)
-        self.train_step = make_score_train_step(
+        batch_sharding = (data_sharding(self.mesh, 4)
+                          if self.mesh is not None else None)
+        self.train_step, self.train_chunk = make_score_train_step(
             self.model, self.tx, self.sigmas, config.model.ema_rate,
-            config.training.anneal_power)
+            config.training.anneal_power, batch_sharding=batch_sharding)
         self.eval_loss = make_eval_loss(
             self.model, self.sigmas, config.training.anneal_power)
 
@@ -194,13 +226,15 @@ class ScoreTrainer:
         x_train = np.asarray(train_ds.network_input())
         x_val = self._shard(val_ds.network_input())
 
-        key = jax.random.key(rng_seed)
-        key, k_init = jax.random.split(key)
+        # RNG streams derived once from the seed so resume is deterministic:
+        # same seed → same shuffles and per-step keys regardless of restarts
+        root = jax.random.key(rng_seed)
+        k_init, k_perm, base_key, k_val_root = jax.random.split(root, 4)
         if resume_from:
             state = self.restore_state(resume_from)
-            key = jax.random.fold_in(key, int(state.step))
         else:
             state = self.init_state(k_init)
+        start_step = int(state.step)
 
         from ..utils.metrics import MetricsLogger
 
@@ -208,34 +242,47 @@ class ScoreTrainer:
         batch = cfg.training.batch_size
         n = x_train.shape[0]
         steps_per_epoch = n // batch  # drop_last=True (train_score.py:75)
+        total_steps = n_epochs * steps_per_epoch
+
+        # stage the whole training tensor in HBM once (dataset is ~MBs,
+        # SURVEY §2.4 host-data-loading row); per-step batches are gathered
+        # on device inside the scanned chunk — no per-step device_put
+        x_all = jnp.asarray(x_train)
+        if self.mesh is not None:
+            x_all = jax.device_put(x_all, replicate(self.mesh))
+
+        # per-epoch shuffles, precomputed (deterministic in the seed)
+        idx_all = np.concatenate([
+            np.asarray(jax.random.permutation(
+                jax.random.fold_in(k_perm, e), n))[:steps_per_epoch * batch]
+            for e in range(n_epochs)
+        ]).reshape(total_steps, batch).astype(np.int32)
+
         train_loss_log, val_loss_log = [], []
         running = None
+        chunk_len = max(1, cfg.training.log_every_steps)
         t0 = time.time()
-
-        for epoch in range(n_epochs):
-            key, k_perm = jax.random.split(key)
-            perm = np.asarray(jax.random.permutation(k_perm, n))
-            for i in range(steps_per_epoch):
-                idx = perm[i * batch:(i + 1) * batch]
-                x = self._shard(jnp.asarray(x_train[idx]))
-                key, k_step = jax.random.split(key)
-                state, loss = self.train_step(state, x, k_step)
-                step = int(state.step)
-                loss_f = float(loss)
+        done = start_step
+        while done < total_steps:
+            idx = idx_all[done:done + chunk_len]
+            state, losses = self.train_chunk(state, x_all, jnp.asarray(idx),
+                                             base_key)
+            done += idx.shape[0]
+            losses = np.asarray(losses)  # ONE device→host sync per chunk
+            for loss_f in losses.tolist():
                 running = (loss_f if running is None
                            else 0.99 * running + 0.01 * loss_f)
-                train_loss_log.append(loss_f)
-                if step % cfg.training.log_every_steps == 0:
-                    key, k_val = jax.random.split(key)
-                    v = float(self.eval_loss(state.ema_params, x_val, k_val))
-                    val_loss_log.append(v)
-                    log_fn(
-                        f"Epoch {epoch}, Step {step}, "
-                        f"Train Loss (EMA) {running:.3f}, Val. Loss {v:.3f}, "
-                        f"{step / (time.time() - t0):.2f} steps/s")
-                    metrics.log("val", epoch=epoch, step=step,
-                                train_loss_ema=running, val_loss=v,
-                                steps_per_s=step / (time.time() - t0))
+            train_loss_log.extend(losses.tolist())
+            epoch = (done - 1) // steps_per_epoch
+            v = float(self.eval_loss(state.ema_params, x_val,
+                                     jax.random.fold_in(k_val_root, done)))
+            val_loss_log.append(v)
+            sps = (done - start_step) / (time.time() - t0)
+            log_fn(f"Epoch {epoch}, Step {done}, "
+                   f"Train Loss (EMA) {running:.3f}, Val. Loss {v:.3f}, "
+                   f"{sps:.2f} steps/s")
+            metrics.log("val", epoch=epoch, step=done,
+                        train_loss_ema=running, val_loss=v, steps_per_s=sps)
 
         logs = {"train_loss": np.asarray(train_loss_log),
                 "val_loss": np.asarray(val_loss_log),
