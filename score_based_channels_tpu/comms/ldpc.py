@@ -4,13 +4,13 @@ The reference's link-level evaluation is MATLAB (testPackets.m:29-60):
 IEEE 802.11n LDPC with codeword length 648, rate 1/2 (Z=27), BP decoding.
 This module provides the TPU-native equivalent:
 
-  - a quasi-cyclic (648, 324) code with Z=27, 12×24 base matrix, the
-    802.11n-style dual-diagonal parity structure and a WiFi-like
-    information-part degree profile. The exact Annex-R shift values are
-    not reproduced (standards text; transcription from memory would be
-    unreliable) — the stand-in has the same n/k/Z/structure and
-    representative performance, and the simulation is self-consistent
-    (encode and decode share H).
+  - the REAL IEEE 802.11n (HT) rate-1/2 n=648 Z=27 code
+    (`make_wifi_ldpc`, prototype matrix `WIFI_N648_R12_Z27` from IEEE Std
+    802.11n Annex R Table R.1 — the same published table the reference
+    transcribes at testPackets.m:29-41), expanded with MATLAB's
+    right-cyclic-shift convention so H matches the reference bit for bit,
+  - a legacy pseudo-random "WiFi-like" construction (`make_wifi_like_ldpc`)
+    kept for structural tests,
   - systematic encoding via a host-precomputed GF(2) generator matrix
     (Gaussian elimination once, numpy),
   - batched normalized-min-sum BP decoding as a `lax.scan` over
@@ -32,8 +32,32 @@ import numpy as np
 Array = jax.Array
 
 
+# IEEE 802.11n (HT) rate-1/2, n=648, Z=27 prototype matrix: IEEE Std
+# 802.11n Annex R Table R.1 (public standard constant; the reference link
+# sim transcribes the same table at testPackets.m:29-41).
+# −1 = all-zero 27×27 block; s ≥ 0 = identity right-cyclic-shifted by s.
+_ = -1
+WIFI_N648_R12_Z27 = np.array([
+    [0,  _,  _,  _,  0,  0,  _,  _,  0,  _,  _,  0,  1, 0, _, _, _, _, _, _, _, _, _, _],
+    [22, 0,  _,  _,  17, _,  0,  0,  12, _,  _,  _,  _, 0, 0, _, _, _, _, _, _, _, _, _],
+    [6,  _,  0,  _,  10, _,  _,  _,  24, _,  0,  _,  _, _, 0, 0, _, _, _, _, _, _, _, _],
+    [2,  _,  _,  0,  20, _,  _,  _,  25, 0,  _,  _,  _, _, _, 0, 0, _, _, _, _, _, _, _],
+    [23, _,  _,  _,  3,  _,  _,  _,  0,  _,  9,  11, _, _, _, _, 0, 0, _, _, _, _, _, _],
+    [24, _,  23, 1,  17, _,  3,  _,  10, _,  _,  _,  _, _, _, _, _, 0, 0, _, _, _, _, _],
+    [25, _,  _,  _,  8,  _,  _,  _,  7,  18, _,  _,  0, _, _, _, _, _, 0, 0, _, _, _, _],
+    [13, 24, _,  _,  0,  _,  8,  _,  6,  _,  _,  _,  _, _, _, _, _, _, _, 0, 0, _, _, _],
+    [7,  20, _,  16, 22, 10, _,  _,  23, _,  _,  _,  _, _, _, _, _, _, _, _, 0, 0, _, _],
+    [11, _,  _,  _,  19, _,  _,  _,  13, _,  3,  17, _, _, _, _, _, _, _, _, _, 0, 0, _],
+    [25, _,  8,  _,  23, 18, _,  14, 9,  _,  _,  _,  _, _, _, _, _, _, _, _, _, _, 0, 0],
+    [3,  _,  _,  _,  16, _,  _,  2,  25, 5,  _,  _,  1, _, _, _, _, _, _, _, _, _, _, 0],
+], np.int64)
+del _
+
+
 def _expand_base(base: np.ndarray, z: int) -> np.ndarray:
-    """Base matrix (−1 = zero block, s ≥ 0 = I shifted by s) → dense H."""
+    """Base matrix (−1 = zero block, s ≥ 0 = I right-cyclic-shifted by s,
+    MATLAB `circshift(I, [0 s])` convention, testPackets.m:47-53) → dense H.
+    """
     mb, nb = base.shape
     H = np.zeros((mb * z, nb * z), np.uint8)
     I = np.eye(z, dtype=np.uint8)
@@ -42,7 +66,7 @@ def _expand_base(base: np.ndarray, z: int) -> np.ndarray:
             s = base[i, j]
             if s >= 0:
                 H[i * z:(i + 1) * z, j * z:(j + 1) * z] = np.roll(
-                    I, -int(s) % z, axis=1)
+                    I, int(s) % z, axis=1)
     return H
 
 
@@ -145,9 +169,22 @@ def _systematize(H: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
 
 def make_wifi_like_ldpc(z: int = 27, nb: int = 24, seed: int = 80211
                         ) -> LDPCCode:
-    """(648, 324) rate-1/2 QC-LDPC (see module docstring)."""
+    """(648, 324) rate-1/2 QC-LDPC with pseudo-random info shifts (legacy
+    stand-in; prefer `make_wifi_ldpc` for reference parity)."""
     base = make_wifi_like_base(z=z, nb=nb, seed=seed)
     H = _expand_base(base, z)
+    P, perm = _systematize(H)
+    n = H.shape[1]
+    k = n - H.shape[0]
+    return LDPCCode(H=H, G_info_to_parity=P, perm=perm, n=n, k=k)
+
+
+def make_wifi_ldpc() -> LDPCCode:
+    """The REAL IEEE 802.11n (648, 324) Z=27 rate-1/2 code — H expanded
+    from the published Annex R prototype exactly as the reference does
+    (testPackets.m:43-60), so syndromes/codewords are directly comparable.
+    """
+    H = _expand_base(WIFI_N648_R12_Z27, 27)
     P, perm = _systematize(H)
     n = H.shape[1]
     k = n - H.shape[0]

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import cplx
-from .ldpc import LDPCCode, make_wifi_like_ldpc, minsum_decode
+from .ldpc import LDPCCode, make_wifi_ldpc, minsum_decode
 from .mimo import mimo_kbest_llr, mimo_ml_llr, mimo_zf_sic_llr
 from .modulation import qpsk_modulate
 
@@ -46,7 +46,9 @@ class LinkResults:
 
 
 def _interleaver(n: int, seed: int = 11) -> np.ndarray:
-    """Random interleaver (stands in for testPackets.m:96-99 row-column)."""
+    """Fixed-seed random interleaver — semantically identical to the
+    reference's `rng(inter_seed); P = randperm(N)` (testPackets.m:96-99);
+    only the PRNG differs, which is immaterial for a random permutation."""
     return np.random.default_rng(seed).permutation(n)
 
 
@@ -133,7 +135,7 @@ def run_link_simulation(
     seed: int = 0,
 ) -> LinkResults:
     """BER/BLER sweep with ideal vs estimated CSI (test_end_to_end.m:38-60)."""
-    code = make_wifi_like_ldpc()
+    code = make_wifi_ldpc()
     to2 = lambda H: (cplx.from_complex(H) if np.asarray(H).ndim == 3
                      or np.iscomplexobj(H) else jnp.asarray(H, jnp.float32))
     H_true2 = to2(H_true)

@@ -6,7 +6,7 @@ import numpy as np
 
 from score_based_channels_tpu import cplx
 from score_based_channels_tpu.comms.ldpc import (
-    make_wifi_like_ldpc, minsum_decode,
+    WIFI_N648_R12_Z27, make_wifi_ldpc, make_wifi_like_ldpc, minsum_decode,
 )
 from score_based_channels_tpu.comms.mimo import mimo_ml_llr
 from score_based_channels_tpu.comms.modulation import (
@@ -45,6 +45,62 @@ def test_ldpc_decoding_corrects_errors():
                                 jnp.asarray(code.H, jnp.float32),
                                 num_iters=30)
     errs = (np.asarray(bits_hat) != cw.astype(np.uint8)).sum()
+    assert hard_in_errs > 0
+    assert errs < hard_in_errs * 0.05, (hard_in_errs, errs)
+
+
+def test_wifi_ldpc_block_structure_matches_published_table():
+    """H of the REAL 802.11n (648,324) code vs IEEE Std 802.11n Annex R
+    (the same table the reference transcribes, testPackets.m:29-41) —
+    asserted from first principles, independent of the expansion helper."""
+    code = make_wifi_ldpc()
+    H = code.H
+    Z = 27
+    assert H.shape == (324, 648)
+    base = WIFI_N648_R12_Z27
+    assert base.shape == (12, 24)
+    # per-block: all-zero where the table says -1; a right-cyclic-shifted
+    # identity (MATLAB circshift(I,[0 s]), testPackets.m:47-53) where s>=0
+    I = np.eye(Z, dtype=np.uint8)
+    for i in range(12):
+        for j in range(24):
+            blk = H[i * Z:(i + 1) * Z, j * Z:(j + 1) * Z]
+            s = int(base[i, j])
+            if s < 0:
+                assert not blk.any(), (i, j)
+            else:
+                np.testing.assert_array_equal(blk, np.roll(I, s, axis=1))
+    # spot-check row 0 against hand-derived positions straight from the
+    # published row [0,_,_,_,0,0,_,_,0,_,_,0,1,0,...]: block (0,j) with
+    # shift s puts row 0's one at column j*Z+s
+    expect = sorted([0, 4 * Z, 5 * Z, 8 * Z, 11 * Z, 12 * Z + 1, 13 * Z])
+    np.testing.assert_array_equal(np.flatnonzero(H[0]), expect)
+    # row/column weights implied by the table
+    np.testing.assert_array_equal(
+        H.sum(1).reshape(12, Z),
+        np.repeat((base >= 0).sum(1)[:, None], Z, axis=1))
+    np.testing.assert_array_equal(
+        H.sum(0).reshape(24, Z),
+        np.repeat((base >= 0).sum(0)[:, None], Z, axis=1))
+
+
+def test_wifi_ldpc_encode_decode():
+    code = make_wifi_ldpc()
+    assert (code.n, code.k) == (648, 324)
+    rng = np.random.default_rng(80211)
+    bits = rng.integers(0, 2, (12, code.k), dtype=np.uint8)
+    cw = code.encode(bits)
+    assert code.check(cw).all()
+    # BP decoding on the standard code corrects AWGN errors
+    x = 1.0 - 2.0 * cw.astype(np.float32)
+    sigma = 0.6
+    y = x + sigma * rng.standard_normal(x.shape).astype(np.float32)
+    llr = 2.0 * y / sigma**2
+    hard_in_errs = ((llr < 0).astype(np.uint8) != cw).sum()
+    bits_hat, _ = minsum_decode(jnp.asarray(llr),
+                                jnp.asarray(code.H, jnp.float32),
+                                num_iters=30)
+    errs = (np.asarray(bits_hat) != cw).sum()
     assert hard_in_errs > 0
     assert errs < hard_in_errs * 0.05, (hard_in_errs, errs)
 
