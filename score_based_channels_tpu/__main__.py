@@ -11,7 +11,7 @@ Commands mirror the reference's entry scripts (SURVEY.md L6):
   ls            test_ml.py        — regularized LS baseline
   lasso         test_l1Fourier_lifted.py — lifted-Fourier FISTA baseline
   mmse          test_mmse.py      — posterior-averaging approximate MMSE
-  amp           matlab/test_em_gm_amp.m — EM-BG-AMP compressed sensing
+  amp           matlab/test_em_gm_amp.m — EM-GM-AMP compressed sensing
   link          matlab/test_end_to_end.m — coded BER/BLER link simulation
   generate-data matlab/generate_data.m — CDL dataset files
 """

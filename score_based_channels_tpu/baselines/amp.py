@@ -1,13 +1,19 @@
-"""EM-BG-AMP compressed-sensing baseline (reference matlab/test_em_gm_amp.m).
+"""EM-GM-AMP compressed-sensing baseline (reference matlab/test_em_gm_amp.m).
 
 The reference script calls EMGMAMP from the (un-vendored, so unrunnable
 there) GAMP MATLAB toolbox on a flattened Kronecker-lifted Fourier
 operator (test_em_gm_amp.m:101-138). This module provides a runnable
-TPU-native equivalent: GAMP with a Bernoulli-Gaussian prior whose
-parameters (sparsity λ, signal variance φ, noise variance ψ) are learned
-online by EM — the BG special case of Vila & Schniter's EM-GM-AMP — using
-the *uniform-variance* GAMP simplification so the lifted operator stays
-implicit (two small matmuls, never materializing kron(R, A·L)).
+TPU-native equivalent: GAMP with a K-component Bernoulli-Gaussian-mixture
+prior whose parameters (sparsity λ, mixture weights ω_k, component
+variances φ_k, noise variance ψ) are learned online by EM — Vila &
+Schniter's EM-GM-AMP. The reference invokes EMGMAMP with
+`optEM.heavy_tailed = true` (test_em_gm_amp.m:55), which fixes the
+component means at zero and learns only (ω_k, φ_k); we match that mode.
+`em_bg_amp` (the K=1 special case, EM-BG-AMP) is kept as a thin wrapper.
+
+The GAMP recursion uses the *uniform-variance* simplification so the
+lifted operator stays implicit (two small matmuls, never materializing
+kron(R, A·L), which the reference builds densely at test_em_gm_amp.m:101).
 
 Model:  y = A·L·Z·R + n,  Z sparse in the lifted 2-D Fourier domain
 (same dictionary as baselines/lasso.py). All quantities complex via c2.
@@ -31,17 +37,27 @@ from .lasso import lifted_fourier_dicts
 Array = jax.Array
 
 
-def em_bg_amp(
+def em_gm_amp(
     A2: Array,  # (B, Np, Nt, 2) measurement operator (pilots)
     Y2: Array,  # (B, Np, Nr, 2)
     L2: Array,  # (Nt, Zr, 2) left dictionary
     R2: Array,  # (Zc, Nr, 2) right dictionary
     num_iters: int = 50,
+    num_components: int = 3,
     damp: float = 0.7,
     oracle2: Optional[Array] = None,
     init_sparsity: float = 0.05,
+    init_var_spread: float = 10.0,
 ) -> Tuple[Array, Optional[Array]]:
-    """Batched EM-BG-AMP. Returns (H_hat (B,Nt,Nr,2), nmse_trace or None).
+    """Batched EM-GM-AMP (Vila & Schniter; heavy-tailed zero-mean mode, as
+    the reference configures EMGMAMP at test_em_gm_amp.m:55).
+    Returns (H_hat (B,Nt,Nr,2), nmse_trace or None).
+
+    Prior per coefficient: p(z) = (1−λ)δ(z) + λ·Σ_k ω_k·CN(z; 0, φ_k);
+    λ, ω, φ and the noise variance ψ are re-estimated by EM each GAMP
+    iteration. Component variances are initialized geometrically spread
+    (factor `init_var_spread`) around the moment-matched BG estimate so
+    the mixture can capture heavy tails; K=1 reduces exactly to EM-BG-AMP.
 
     Uniform-variance GAMP: scalar variances per sample; the effective
     operator F(Z) = A·L·Z·R has squared Frobenius gain per coefficient
@@ -79,21 +95,39 @@ def em_bg_amp(
                 jnp.broadcast_to(L2, Z.shape[:-3] + L2.shape), Z), Rb)
 
     # EM init (Vila-Schniter style): noise from an SNR0 guess, signal
-    # variance from the measurement energy
+    # variance from the measurement energy, component variances spread
+    # geometrically around it (heavy-tailed init, EMGMAMP's default)
+    K = int(num_components)
     psi0 = y_energy / 101.0  # assume SNR0 = 20 dB
     lam0 = jnp.full((B,), init_sparsity, jnp.float32)
-    phi0 = jnp.maximum((y_energy - psi0) / (gA[:, 0, 0] * N * lam0), 1e-12)
+    phi_bg = jnp.maximum((y_energy - psi0) / (gA[:, 0, 0] * N * lam0), 1e-12)
+    spread = jnp.asarray(
+        [init_var_spread ** (k - (K - 1) / 2.0) for k in range(K)],
+        jnp.float32)
+    phi0 = phi_bg[:, None] * spread[None, :]  # (B, K)
+    omega0 = jnp.full((B, K), 1.0 / K, jnp.float32)
 
     Z0 = jnp.zeros((B, Zr, Zc, 2), jnp.float32)
-    tau_x0 = phi0 * lam0  # per-coefficient prior variance
+    tau_x0 = (phi0 * omega0).sum(-1) * lam0  # per-coefficient prior variance
     s0 = jnp.zeros((B, Np_, Nr, 2), jnp.float32)
 
     gA_s = gA[:, 0, 0]  # (B,) per-coefficient operator energy
 
-    def body(carry, _):
-        Z, tau_x, s, lam, phi, psi = carry
+    # robust GAMP (the reference enables EMGMAMP's robust_gamp,
+    # test_em_gm_amp.m:57): per-sample adaptive damping with step
+    # rejection — a candidate step that increases the measurement
+    # residual is discarded and the damping halved; accepted steps
+    # slowly relax the damping back up. Without this the uniform-variance
+    # recursion diverges on non-i.i.d. pilot operators (real CDL data).
+    DAMP_MIN, DAMP_MAX, ACCEPT_TOL = 0.02, 0.95, 1.02
+
+    def gamp_step(state, damp_t):
+        Z, tau_x, s, lam, omega, phi, psi = state
+        d1 = damp_t                        # (B,)
+        d3 = damp_t[:, None, None]         # (B,1,1)
         lamb = lam[:, None, None]
-        phib = phi[:, None, None]
+        phib = phi[:, None, None, :]      # (B,1,1,K)
+        omegab = omega[:, None, None, :]  # (B,1,1,K)
 
         # output linear step: scalar variance per sample
         tau_p = jnp.maximum(gA_s * N * tau_x, 1e-12)  # (B,)
@@ -101,50 +135,92 @@ def em_bg_amp(
         # output nonlinear step (AWGN likelihood)
         denom = (tau_p + psi)[:, None, None]  # (B,1,1)
         s_new = cplx.scale(Y2 - p, 1.0 / denom)
-        s = cplx.scale(s, 1.0 - damp) + cplx.scale(s_new, damp)
+        s = cplx.scale(s, 1.0 - d3) + cplx.scale(s_new, d3)
 
         # input linear step: tau_r = (Σ |A|² / denom)⁻¹ per coefficient
         tau_r = ((tau_p + psi) / (gA_s * M))[:, None, None]  # (B,1,1)
         r = Z + cplx.scale(adj(s), tau_r)
 
-        # Bernoulli-Gaussian denoiser (complex)
-        tr2 = tau_r
-        abs_r2 = cplx.abs2(r)  # (B, Zr, Zc)
-        # log-likelihood ratio of active vs zero component
-        var1 = phib + tr2
-        llr = (jnp.log(jnp.maximum(lamb, 1e-12))
-               - jnp.log(jnp.maximum(1 - lamb, 1e-12))
-               + jnp.log(tr2 / var1)
-               + abs_r2 * (1.0 / tr2 - 1.0 / var1))
-        pi = jax.nn.sigmoid(llr)  # activity posterior (B, Zr, Zc)
-        gain = phib / var1
-        x_mmse = cplx.scale(r, pi * gain)
-        second = pi * (gain * tr2 + (gain**2) * abs_r2)
-        var_x = second - cplx.abs2(x_mmse)
-        Z_new = x_mmse
-        Z = cplx.scale(Z, 1.0 - damp) + cplx.scale(Z_new, damp)
-        tau_x_new = jnp.mean(var_x, axis=(-1, -2))
-        tau_x = (1.0 - damp) * tau_x + damp * tau_x_new
+        # Bernoulli-Gaussian-mixture denoiser (complex, zero means).
+        # Posterior over {null, comp 1..K} per coefficient via log-domain
+        # responsibilities; common −log π terms cancel in the softmax.
+        tr2 = tau_r                      # (B,1,1)
+        abs_r2 = cplx.abs2(r)            # (B, Zr, Zc)
+        var1 = phib + tr2[..., None]     # (B,1,1,K) broadcastable
+        log_bk = (jnp.log(jnp.maximum(lamb, 1e-12))[..., None]
+                  + jnp.log(jnp.maximum(omegab, 1e-12))
+                  - jnp.log(var1)
+                  - abs_r2[..., None] / var1)        # (B,Zr,Zc,K)
+        log_b0 = (jnp.log(jnp.maximum(1 - lamb, 1e-12))
+                  - jnp.log(tr2) - abs_r2 / tr2)      # (B,Zr,Zc)
+        log_all = jnp.concatenate([log_b0[..., None], log_bk], axis=-1)
+        post = jax.nn.softmax(log_all, axis=-1)       # (B,Zr,Zc,1+K)
+        pi_k = post[..., 1:]                          # (B,Zr,Zc,K)
+        pi = pi_k.sum(-1)                             # activity posterior
 
-        # EM parameter updates
-        lam = jnp.clip(jnp.mean(pi, axis=(-1, -2)), 1e-5, 1.0 - 1e-5)
-        phi = (jnp.sum(second, axis=(-1, -2))
-               / jnp.maximum(jnp.sum(pi, axis=(-1, -2)), 1e-6))
+        gain_k = phib / var1                          # (B,1,1,K)
+        nu_k = gain_k * tr2[..., None]                # posterior var per comp
+        # x̂ = Σ_k π_k·γ_k with γ_k = gain_k·r (zero-mean components)
+        mean_gain = (pi_k * gain_k).sum(-1)           # (B,Zr,Zc)
+        x_mmse = cplx.scale(r, mean_gain)
+        # per-component second moment π_k·(|γ_k|² + ν_k)
+        second_k = pi_k * (gain_k**2 * abs_r2[..., None] + nu_k)
+        second = second_k.sum(-1)
+        var_x = second - cplx.abs2(x_mmse)
+        Z = cplx.scale(Z, 1.0 - d3) + cplx.scale(x_mmse, d3)
+        tau_x_new = jnp.mean(var_x, axis=(-1, -2))
+        tau_x = (1.0 - d1) * tau_x + d1 * tau_x_new
+
+        # EM parameter updates (Vila & Schniter eqs. for zero-mean comps)
+        sum_pik = jnp.sum(pi_k, axis=(1, 2))          # (B,K)
+        sum_pi = jnp.maximum(sum_pik.sum(-1), 1e-6)   # (B,)
+        lam = jnp.clip(sum_pi / (Zr * Zc), 1e-5, 1.0 - 1e-5)
+        omega = sum_pik / sum_pi[:, None]
+        phi = (jnp.sum(second_k, axis=(1, 2))
+               / jnp.maximum(sum_pik, 1e-6))          # (B,K)
         resid = cplx.sum_abs2(Y2 - fwd(Z), axis=(-1, -2)) / M
         psi = jnp.maximum(resid, 1e-12)
+        return (Z, tau_x, s, lam, omega, phi, psi), resid
+
+    def body(carry, _):
+        state, damp_t, resid_prev = carry
+        cand, resid_cand = gamp_step(state, damp_t)
+        # accept an improving step — or any step once damping has bottomed
+        # out (otherwise identical-candidate rejection deadlocks the scan;
+        # at DAMP_MIN the harm of a bad step is bounded anyway)
+        accept = ((resid_cand <= resid_prev * ACCEPT_TOL)
+                  | (damp_t <= DAMP_MIN))  # (B,)
+
+        def sel(new, old):
+            a = accept.reshape((B,) + (1,) * (new.ndim - 1))
+            return jnp.where(a, new, old)
+
+        state = jax.tree_util.tree_map(sel, cand, state)
+        resid_prev = jnp.where(accept, resid_cand, resid_prev)
+        damp_t = jnp.where(accept,
+                           jnp.minimum(damp_t * 1.1, DAMP_MAX),
+                           jnp.maximum(damp_t * 0.5, DAMP_MIN))
 
         ys = None
         if track:
-            H = synth(Z)
+            H = synth(state[0])
             ys = (cplx.sum_abs2(H - oracle2, axis=(-1, -2))
                   / oracle_energy).astype(jnp.float32)
-        return (Z, tau_x, s, lam, phi, psi), ys
+        return (state, damp_t, resid_prev), ys
 
-    init = (Z0, tau_x0, s0, lam0, phi0, psi0)
-    (Zf, *_), trace = jax.lax.scan(body, init, None, length=num_iters)
+    init_state = (Z0, tau_x0, s0, lam0, omega0, phi0, psi0)
+    init = (init_state, jnp.full((B,), damp, jnp.float32), y_energy)
+    ((Zf, *_), _, _), trace = jax.lax.scan(body, init, None,
+                                           length=num_iters)
     H_hat = cplx.matmul(cplx.matmul(
         jnp.broadcast_to(L2, Zf.shape[:-3] + L2.shape), Zf), Rb)
     return H_hat, trace
+
+
+def em_bg_amp(A2: Array, Y2: Array, L2: Array, R2: Array,
+              **kwargs) -> Tuple[Array, Optional[Array]]:
+    """EM-BG-AMP: the K=1 (Bernoulli-Gaussian) special case of EM-GM-AMP."""
+    return em_gm_amp(A2, Y2, L2, R2, num_components=1, **kwargs)
 
 
 @dataclasses.dataclass
@@ -171,13 +247,14 @@ def run_amp_baseline(
     pilot_alpha: float = 0.6,
     lifting: int = 4,
     num_iters: int = 50,
+    num_components: int = 3,
     num_channels: int = 50,
     spacing: float = 0.5,
     train_seed: int = 1234,
     val_seed: int = 4321,
     seed: int = 13,
 ) -> AMPResults:
-    """EM-BG-AMP over the SNR grid (test_em_gm_amp.m semantics: NMSE per
+    """EM-GM-AMP over the SNR grid (test_em_gm_amp.m semantics: NMSE per
     EM iteration, lifted Fourier dictionary, noise = 10^(−SNR/10)·Nt)."""
     if snr_range is None:
         snr_range = np.arange(-10, 35, 5)
@@ -210,8 +287,9 @@ def run_amp_baseline(
     X_b = jnp.tile(X2, (S, 1, 1, 1))
     Y_b = physics.measure_c2(km, A_b, X_b, jnp.asarray(npow))
 
-    run = jax.jit(lambda a, y, orc: em_bg_amp(
-        a, y, L2, R2, num_iters=num_iters, oracle2=orc))
+    run = jax.jit(lambda a, y, orc: em_gm_amp(
+        a, y, L2, R2, num_iters=num_iters,
+        num_components=num_components, oracle2=orc))
     _, trace = run(A_b, Y_b, X_b)
     trace = np.asarray(trace).reshape(num_iters, S, C)
     return AMPResults(nmse_trace=np.transpose(trace, (1, 0, 2)),
@@ -221,9 +299,11 @@ def run_amp_baseline(
 def main(argv=None):
     import argparse
 
-    p = argparse.ArgumentParser(description="EM-BG-AMP baseline")
+    p = argparse.ArgumentParser(description="EM-GM-AMP baseline")
     p.add_argument("--train", type=str, default="CDL-C")
     p.add_argument("--iters", type=int, default=50)
+    p.add_argument("--components", type=int, default=3,
+                   help="GM components K (K=1 = EM-BG-AMP)")
     p.add_argument("--num_channels", type=int, default=50)
     p.add_argument("--snr", nargs="+", type=float, default=None)
     p.add_argument("--output", type=str, default=None)
@@ -234,6 +314,7 @@ def main(argv=None):
     cfg = default_score_config(args.train)
     res = run_amp_baseline(
         cfg, channel=args.train, num_iters=args.iters,
+        num_components=args.components,
         snr_range=np.asarray(args.snr) if args.snr else None,
         num_channels=args.num_channels)
     for s, snr in enumerate(res.snr_range):

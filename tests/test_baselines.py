@@ -141,17 +141,55 @@ def test_em_bg_amp_recovers_sparse_signal():
     Y2 = Y2 + 1e-3 * cplx.randn(jax.random.key(3), Y2.shape[:-1])
 
     _, trace = em_bg_amp(A2, Y2, cplx.from_complex(L), cplx.from_complex(R),
-                         num_iters=60, oracle2=X2)
-    assert trace.shape == (60, 1)
+                         num_iters=180, oracle2=X2)
+    assert trace.shape == (180, 1)
     best = float(np.nanmin(np.asarray(trace)))
-    assert best < 0.05, f"AMP failed: best NMSE {best}"
+    # robust (adaptive-damping) GAMP converges to near the noise floor
+    assert best < 5e-3, f"AMP failed: best NMSE {best}"
+
+
+def test_em_gm_amp_beats_bg_on_heavy_tailed_signal():
+    """A GM-distributed sparse signal (two active-coefficient scales, 30 dB
+    apart) is the case the mixture prior exists for (Vila & Schniter;
+    the reference's heavy_tailed EMGMAMP config, test_em_gm_amp.m:55):
+    K=3 EM-GM-AMP must recover it better than the BG special case."""
+    from score_based_channels_tpu.baselines.amp import em_bg_amp, em_gm_amp
+    from score_based_channels_tpu.baselines.lasso import lifted_fourier_dicts
+
+    rng = np.random.default_rng(42)
+    Nt, Nr, lift = 16, 8, 2
+    L, R = lifted_fourier_dicts(Nt, Nr, lift)
+    Z = np.zeros((Nt * lift, Nr * lift), np.complex64)
+    crand = lambda: rng.standard_normal() + 1j * rng.standard_normal()
+    for _ in range(4):  # strong components
+        Z[rng.integers(Nt * lift), rng.integers(Nr * lift)] = 30.0 * crand()
+    for _ in range(12):  # weak components, 30 dB down
+        Z[rng.integers(Nt * lift), rng.integers(Nr * lift)] = crand()
+    H = (L @ Z @ R).astype(np.complex64)
+
+    P2 = cplx.qpsk_pilots(jax.random.key(5), 1, Nt, Nt)
+    A2 = cplx.conj_transpose(P2)
+    X2 = cplx.from_complex(H[None])
+    Y2 = cplx.matmul(A2, X2)
+    Y2 = Y2 + 1e-2 * cplx.randn(jax.random.key(7), Y2.shape[:-1])
+
+    L2, R2 = cplx.from_complex(L), cplx.from_complex(R)
+    _, tr_gm = em_gm_amp(A2, Y2, L2, R2, num_iters=80, num_components=3,
+                         oracle2=X2)
+    _, tr_bg = em_bg_amp(A2, Y2, L2, R2, num_iters=80, oracle2=X2)
+    best_gm = float(np.nanmin(np.asarray(tr_gm)))
+    best_bg = float(np.nanmin(np.asarray(tr_bg)))
+    # the mixture must recover the signal well...
+    assert best_gm < 0.05, best_gm
+    # ...and strictly better than the single-variance BG prior
+    assert best_gm < best_bg, (best_gm, best_bg)
 
 
 def test_amp_runner_shapes():
     from score_based_channels_tpu.baselines.amp import run_amp_baseline
 
     cfg = tiny_cfg()
-    res = run_amp_baseline(cfg, snr_range=np.array([10.0, 30.0]),
+    res = run_amp_baseline(cfg, snr_range=np.array([-10.0, 30.0]),
                            num_iters=25, num_channels=4)
     assert res.nmse_trace.shape == (2, 25, 4)
     db = res.best_db()
