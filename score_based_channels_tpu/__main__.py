@@ -14,6 +14,7 @@ Commands mirror the reference's entry scripts (SURVEY.md L6):
   amp           matlab/test_em_gm_amp.m — EM-GM-AMP compressed sensing
   link          matlab/test_end_to_end.m — coded BER/BLER link simulation
   generate-data matlab/generate_data.m — CDL dataset files
+  chanstats     generator statistics vs the TR 38.901 analytic tables
 """
 
 import sys
@@ -50,6 +51,8 @@ def main() -> None:
         from .comms.link import main as m
     elif cmd == "generate-data":
         from .data.generate import main as m
+    elif cmd == "chanstats":
+        from .eval.chanstats import main as m
     else:
         print(__doc__)
         raise SystemExit(f"unknown command: {cmd}")
