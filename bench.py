@@ -47,6 +47,11 @@ def main() -> None:
                    choices=["default", "high", "highest"],
                    help="global matmul precision (TPU: default=1-pass bf16, "
                         "highest=3-pass; parity budget 0.25 dB)")
+    p.add_argument("--dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="score-network compute dtype: bfloat16 halves the "
+                        "HBM traffic of the elementwise/norm fusions that "
+                        "dominate the profile (Langevin state stays f32)")
     p.add_argument("--pallas-norm", action="store_true",
                    help="use the fused Pallas InstanceNorm++ kernel")
     p.add_argument("--profile", type=str, default=None,
@@ -106,8 +111,9 @@ def main() -> None:
         params = ck["ema"] if ck["ema"] is not None else ck["params"]
         print(f"# loaded {args.checkpoint}", file=sys.stderr)
 
-    def score_fn(x, sigma):
-        return model.apply({"params": params}, x, sigma)
+    from score_based_channels_tpu.eval.estimate import score_fn_from_params
+
+    score_fn = score_fn_from_params(model, params, dtype=jnp.dtype(args.dtype))
 
     # synthetic workload in c2 (throughput is oracle-independent; the TPU
     # path is complex-free by design, see cplx.py)

@@ -31,8 +31,23 @@ from ..parallel.mesh import data_sharding, pad_to_multiple
 Array = jax.Array
 
 
-def score_fn_from_params(model, params) -> Callable[[Array, Array], Array]:
-    """Bind params → score_fn(x_nhwc_c2, sigma) for the sampler."""
+def score_fn_from_params(
+    model, params, dtype: Optional[jnp.dtype] = None,
+) -> Callable[[Array, Array], Array]:
+    """Bind params → score_fn(x_nhwc_c2, sigma) for the sampler.
+
+    dtype: optional network compute dtype (e.g. jnp.bfloat16). Params are
+    pre-cast ONCE (so the scan doesn't re-read f32 masters every NFE) and
+    the input is cast at the boundary; the model returns f32 (σ-scaling
+    tail), so the Langevin state stays f32 regardless.
+    """
+    if dtype is not None and jnp.dtype(dtype) != jnp.float32:
+        params = jax.tree.map(lambda p: p.astype(dtype), params)
+
+        def score_fn(x, sigma):
+            return model.apply({"params": params}, x.astype(dtype), sigma)
+
+        return score_fn
 
     def score_fn(x, sigma):
         return model.apply({"params": params}, x, sigma)
@@ -344,6 +359,9 @@ def main(argv=None):
                         "per-SNR stopping steps")
     p.add_argument("--output", type=str, default=None,
                    help="default results/score/train-<tr>_test-<te>/results.npz")
+    p.add_argument("--dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="score-network compute dtype (state stays f32)")
     p.add_argument("--cache", type=str, default="/tmp/sbc_jax_cache")
     args = p.parse_args(argv)
 
@@ -361,7 +379,8 @@ def main(argv=None):
     config = ck["config"]
     model = make_score_model(config.model, config.data.channels)
     params = ck["ema"] if ck["ema"] is not None else ck["params"]
-    score_fn = score_fn_from_params(model, params)
+    score_fn = score_fn_from_params(model, params,
+                                    dtype=jnp.dtype(args.dtype))
 
     alpha_step = beta_noise = None
     stop_steps = None

@@ -18,11 +18,23 @@ implementation and the parity oracle.
 
 MEASURED VERDICT (v5e, bench.py --pallas-norm): at this model's tensor
 sizes (≤ 256×64×16×32) the kernel is ~10× SLOWER than XLA's fused
-reductions — a one-sample-per-program grid is launch-overhead-bound and
-breaks XLA's cross-op fusion. It therefore defaults OFF and exists as the
-validated template for future fusion work (e.g. whole-residual-block
-kernels at larger batch); per SURVEY.md §7.2 step 8, Pallas is only
-adopted "where profiles justify", and here the profile says XLA wins.
+reductions. Round 1 blamed grid-launch overhead; the round-2 xprof trace
+(BENCH.md "Where the time actually goes") shows the true mechanism is
+FUSION-BOUNDARY HBM TRAFFIC: XLA fuses the norm's reductions and
+elementwise tail into the producing convolution's fusion, so the
+statistics read VMEM-resident data (measured effective bandwidth of the
+norm-side "loop fusion" ops: ~3.3 TB/s ≈ 4× HBM peak — impossible unless
+the reads never leave the chip). ANY standalone kernel at a pallas_call
+boundary must round-trip the activation through HBM (33.5 MB for the
+256×64×16×32 layer ⇒ ≥82 µs at the 819 GB/s peak vs ~12 µs for XLA's
+fused cost) — a structural ~6× loss no grid/block shape can recover.
+The same argument closes the Pallas axis for every non-conv-subsuming
+kernel in this model; and a conv-subsuming mega-kernel would have to
+beat XLA's conv fusions, which already run at 41% of bf16 FLOP peak on
+shapes whose 32/64-wide channels structurally cap MXU lane utilization
+at 25–50%. Kernels therefore default OFF (jnp path is the reference
+implementation); per SURVEY.md §7.2 step 8, Pallas is only adopted
+"where profiles justify", and here the profile says XLA wins.
 """
 
 from __future__ import annotations

@@ -114,21 +114,29 @@ class InstanceNorm2dPlus(nn.Module):
             beta = self.param("beta", nn.initializers.zeros, (self.features,))
             return instance_norm_plus_pallas(x, alpha, gamma, beta)
 
-        means = jnp.mean(x, axis=(1, 2))  # (B, C)
+        # Statistics and affine math in f32 regardless of the activation
+        # dtype (bf16 traffic, f32 registers); output in the input dtype so
+        # a bf16 activation path stays bf16 end-to-end (f32 path: no-ops).
+        dt = x.dtype
+        xs = x.astype(jnp.float32)
+        alpha = alpha.astype(jnp.float32)
+        gamma = gamma.astype(jnp.float32)
+
+        means = jnp.mean(xs, axis=(1, 2))  # (B, C)
         m = jnp.mean(means, axis=-1, keepdims=True)
         v = jnp.var(means, axis=-1, keepdims=True, ddof=1)
         means_hat = (means - m) / jnp.sqrt(v + 1e-5)
 
-        mu = jnp.mean(x, axis=(1, 2), keepdims=True)
-        var = jnp.var(x, axis=(1, 2), keepdims=True)
-        h = (x - mu) / jnp.sqrt(var + 1e-5)
+        mu = jnp.mean(xs, axis=(1, 2), keepdims=True)
+        var = jnp.var(xs, axis=(1, 2), keepdims=True)
+        h = (xs - mu) / jnp.sqrt(var + 1e-5)
 
         h = h + means_hat[:, None, None, :] * alpha
         out = gamma * h
         if self.bias:
             beta = self.param("beta", nn.initializers.zeros, (self.features,))
-            out = out + beta
-        return out
+            out = out + beta.astype(jnp.float32)
+        return out.astype(dt)
 
 
 class InstanceNorm2d(nn.Module):
@@ -140,15 +148,17 @@ class InstanceNorm2d(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        mu = jnp.mean(x, axis=(1, 2), keepdims=True)
-        var = jnp.var(x, axis=(1, 2), keepdims=True)
-        h = (x - mu) / jnp.sqrt(var + 1e-5)
+        dt = x.dtype
+        xs = x.astype(jnp.float32)
+        mu = jnp.mean(xs, axis=(1, 2), keepdims=True)
+        var = jnp.var(xs, axis=(1, 2), keepdims=True)
+        h = (xs - mu) / jnp.sqrt(var + 1e-5)
         gamma = self.param("gamma", nn.initializers.ones, (self.features,))
-        out = gamma * h
+        out = gamma.astype(jnp.float32) * h
         if self.bias:
             beta = self.param("beta", nn.initializers.zeros, (self.features,))
-            out = out + beta
-        return out
+            out = out + beta.astype(jnp.float32)
+        return out.astype(dt)
 
 
 class VarianceNorm2d(nn.Module):
@@ -162,14 +172,16 @@ class VarianceNorm2d(nn.Module):
         def _normal_init(key, shape):
             return 1.0 + 0.02 * jax.random.normal(key, shape, jnp.float32)
 
-        var = jnp.var(x, axis=(1, 2), keepdims=True, ddof=1)  # torch.var
-        h = x / jnp.sqrt(var + 1e-5)
+        dt = x.dtype
+        xs = x.astype(jnp.float32)
+        var = jnp.var(xs, axis=(1, 2), keepdims=True, ddof=1)  # torch.var
+        h = xs / jnp.sqrt(var + 1e-5)
         alpha = self.param("alpha", _normal_init, (self.features,))
-        out = alpha * h
+        out = alpha.astype(jnp.float32) * h
         if self.bias:
             beta = self.param("beta", nn.initializers.zeros, (self.features,))
-            out = out + beta
-        return out
+            out = out + beta.astype(jnp.float32)
+        return out.astype(dt)
 
 
 class NoneNorm2d(nn.Module):
@@ -252,10 +264,15 @@ def resize_bilinear_align_corners(x: Array, out_hw: Tuple[int, int]) -> Array:
     oh, ow = out_hw
     if (h, w) == (oh, ow):
         return x
-    Ah = jnp.asarray(_interp_matrix(h, oh))
-    Aw = jnp.asarray(_interp_matrix(w, ow))
-    y = jnp.einsum("Hh,bhwc->bHwc", Ah, x, precision=jax.lax.Precision.HIGHEST)
-    y = jnp.einsum("Ww,bhwc->bhWc", Aw, y, precision=jax.lax.Precision.HIGHEST)
+    # Interp matrices in the activation dtype so a bf16 path stays bf16.
+    # f32 path: HIGHEST precision keeps the exact torch-parity numerics;
+    # bf16 path: default precision (HIGHEST would force multi-pass upcasts
+    # on an interpolation matrix whose entries are exact in bf16 anyway).
+    Ah = jnp.asarray(_interp_matrix(h, oh)).astype(x.dtype)
+    Aw = jnp.asarray(_interp_matrix(w, ow)).astype(x.dtype)
+    prec = jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+    y = jnp.einsum("Hh,bhwc->bHwc", Ah, x, precision=prec)
+    y = jnp.einsum("Ww,bhwc->bhWc", Aw, y, precision=prec)
     return y
 
 

@@ -42,8 +42,14 @@ Array = jax.Array
 
 
 def _apply_sigma_scaling(out: Array, used_sigmas: Array) -> Array:
-    """output / σ with σ scalar or (B,) (ncsnv2.py:295-298)."""
-    s = jnp.asarray(used_sigmas, out.dtype)
+    """output / σ with σ scalar or (B,) (ncsnv2.py:295-298).
+
+    Always computed (and returned) in f32: σ spans 39.15→3.665e-4, and the
+    Langevin state update consuming the score is f32 — so a bf16 network
+    body hands off to an f32 tail here (f32 path: no-ops).
+    """
+    out = out.astype(jnp.float32)
+    s = jnp.asarray(used_sigmas, jnp.float32)
     if s.ndim == 0:
         return out / s
     return out / s.reshape((out.shape[0],) + (1,) * (out.ndim - 1))
