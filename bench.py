@@ -47,11 +47,14 @@ def main() -> None:
                    choices=["default", "high", "highest"],
                    help="global matmul precision (TPU: default=1-pass bf16, "
                         "highest=3-pass; parity budget 0.25 dB)")
-    p.add_argument("--dtype", type=str, default="float32",
+    p.add_argument("--dtype", type=str, default="bfloat16",
                    choices=["float32", "bfloat16"],
-                   help="score-network compute dtype: bfloat16 halves the "
-                        "HBM traffic of the elementwise/norm fusions that "
-                        "dominate the profile (Langevin state stays f32)")
+                   help="score-network compute dtype (Langevin state stays "
+                        "f32). Default bfloat16: +10%% over f32 (convs "
+                        "already run bf16 operands at default precision; "
+                        "this removes the f32 activation traffic) and "
+                        "full-schedule NMSE matches f32 within 0.01 dB at "
+                        "every SNR (BENCH.md 'Precision A/B')")
     p.add_argument("--pallas-norm", action="store_true",
                    help="use the fused Pallas InstanceNorm++ kernel")
     p.add_argument("--profile", type=str, default=None,
