@@ -9,6 +9,7 @@ Commands mirror the reference's entry scripts (SURVEY.md L6):
   train-wgan    train_wgan.py     — WGAN prior training
   eval-wgan     test_wgan.py      — latent-inversion estimation
   ls            test_ml.py        — regularized LS baseline
+  lmmse         (extension)       — exact LMMSE baseline / warm start
   lasso         test_l1Fourier_lifted.py — lifted-Fourier FISTA baseline
   mmse          test_mmse.py      — posterior-averaging approximate MMSE
   amp           matlab/test_em_gm_amp.m — EM-GM-AMP compressed sensing
@@ -41,6 +42,8 @@ def main() -> None:
         from .eval.wgan import main as m
     elif cmd == "ls":
         from .baselines.ls import main as m
+    elif cmd == "lmmse":
+        from .baselines.lmmse import main as m
     elif cmd == "lasso":
         from .baselines.lasso import main as m
     elif cmd == "mmse":

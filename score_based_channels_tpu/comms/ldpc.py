@@ -196,7 +196,7 @@ def make_wifi_ldpc() -> LDPCCode:
 # -----------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("num_iters", "use_pallas"))
+@partial(jax.jit, static_argnames=("num_iters", "normalize", "use_pallas"))
 def minsum_decode(
     llr: Array,  # (B, n) channel LLRs (positive ⇒ bit 0)
     H: Array,  # (m, n) float mask

@@ -192,13 +192,36 @@ def cov_rel_error(R_emp: np.ndarray, R_ana: np.ndarray) -> float:
 
 def analytic_full_covariance(
     profile: str, num_rx: int = 16, num_tx: int = 64, spacing: float = 0.5,
+    ray_coupling: str = "random", data_layout: bool = True,
 ) -> np.ndarray:
-    """Exact E[vec(X)vec(X)^H] of X (Nt, Nr), column-major vec.
+    """Exact E[vec(X)vec(X)^H] of X = H^H (Nt, Nr), column-major vec.
 
-    X = Σ_{c,m} g_{c,m}·a_tx(θ^ZoD)·a_rx(θ^ZoA)^T with i.i.d. uniform ray
-    phases ⇒ C = Σ_c (P_c/M)·Σ_m kron(a_rx a_rx^H, a_tx a_tx^H). NOT a
-    single Kronecker product — the cluster sum breaks separability, which
-    is exactly why the per-side eigenspectra understate the structure.
+    The channel is H = Σ_{c,m} g_{c,m}·a_rx(θ^ZoA_{c,π_c(m)})·a_tx(θ^ZoD_{c,m})^T
+    with i.i.d. uniform ray phases in g and — per TR 38.901 §7.5 step 8 —
+    a RANDOM per-cluster, per-realization coupling permutation π_c of
+    departure and arrival rays (the generator, data/cdl.py, and MATLAB's
+    nrCDLChannel reseeded per realization both redraw π_c each channel).
+
+    ray_coupling:
+      "random" (default, matches the generator): averaging over π_c makes
+        each cluster's covariance SEPARABLE,
+            C = Σ_c P_c · kron(R̄_rx,c, R̄_tx,c),
+        R̄_side,c = (1/M)Σ_m a a^H — rank up to M² per cluster. This is
+        the ensemble the pipeline actually estimates over (validated:
+        rel-Frobenius 0.042 against a 20 000-channel empirical covariance,
+        effective rank 35.9 vs 35.7).
+      "fixed": the round-2 form (diagonal coupling π_c = id),
+        C = Σ_c (P_c/M)·Σ_m kron(a_rx a_rx^H, a_tx a_tx^H) — rank ≤ M per
+        cluster (erank 16.5). This is NOT the generator's ensemble; it is
+        kept because it describes a per-drop-conditioned (fixed-coupling)
+        ensemble, the most plausible model for the reference's more
+        concentrated MATLAB data (see RESULTS.md round-3 diagnosis).
+
+    data_layout=True conjugates C so it is the covariance of vec(H^H) as
+    produced by ChannelDataset.hermitian() (X = H^H has conjugated
+    steering vectors). The LMMSE *bound* value is invariant to this; any
+    use of C against actual data requires it.
+
     Normalized to unit per-entry variance (trace = Nt·Nr), matching the
     loader's global normalization (loaders.py:47-49).
     """
@@ -224,10 +247,17 @@ def analytic_full_covariance(
         th_r = zoa[c] + prof.c_zsa * deg * offs
         A_t = _ula(th_t, num_tx, spacing)  # (M, Nt)
         A_r = _ula(th_r, num_rx, spacing)  # (M, Nr)
-        V = np.einsum("mr,mt->mrt", A_r, A_t).reshape(M, n)  # kron rows
-        C += (powers[c] / M) * (V.T @ V.conj())
+        if ray_coupling == "random":
+            Bt = (A_t.T @ A_t.conj()) / M  # Σ_m a a^H / M (row-major a's)
+            Br = (A_r.T @ A_r.conj()) / M
+            C += powers[c] * np.kron(Br, Bt)
+        elif ray_coupling == "fixed":
+            V = np.einsum("mr,mt->mrt", A_r, A_t).reshape(M, n)  # kron rows
+            C += (powers[c] / M) * (V.T @ V.conj())
+        else:
+            raise ValueError(ray_coupling)
     C *= n / np.trace(C).real
-    return C
+    return C.conj() if data_layout else C
 
 
 def lmmse_bound_db(
@@ -239,6 +269,7 @@ def lmmse_bound_db(
     spacing: float = 0.5,
     num_pilot_draws: int = 4,
     seed: int = 0,
+    ray_coupling: str = "random",
 ) -> np.ndarray:
     """Exact LMMSE NMSE [dB] per SNR under the analytic CDL covariance.
 
@@ -252,8 +283,14 @@ def lmmse_bound_db(
     prior is non-Gaussian) but any shortfall vs this curve is method slack,
     while performance at/below it certifies the data distribution as the
     binding constraint. Averaged over `num_pilot_draws` pilot draws.
+
+    ray_coupling selects the ensemble (see analytic_full_covariance):
+    "random" is the generator's true ensemble — the round-2 numbers
+    (−4.28/−9.85/−17.40 at −10/0/10 dB) were computed with the "fixed"
+    form and are NOT attainable on this generator's distribution.
     """
-    C = analytic_full_covariance(profile, num_rx, num_tx, spacing)
+    C = analytic_full_covariance(profile, num_rx, num_tx, spacing,
+                                 ray_coupling=ray_coupling)
     n = num_tx * num_rx
     rng = np.random.default_rng(seed)
     noise = 10.0 ** (-np.asarray(snr_db, np.float64) / 10.0) * num_tx

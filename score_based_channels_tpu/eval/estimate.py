@@ -177,6 +177,9 @@ def run_snr_sweep(
     stop_steps=None,
     return_estimates: bool = False,
     level_stride: int = 1,
+    init: str = "noise",
+    sigma_start: Optional[float] = None,
+    init_cov: Optional[np.ndarray] = None,
 ):
     """One (spacing, pilot_alpha) sweep → nmse (n_snr, n_steps, n_channels).
 
@@ -186,6 +189,17 @@ def run_snr_sweep(
 
     alpha_step/beta_noise: scalar, or per-SNR arrays (n_snr,) for
     known-SNR tuned inference (tune_hparams_score.py:155-162 output).
+
+    init / sigma_start (round-3 warm-start mode): init ∈ {"noise", "ls",
+    "lmmse"} selects the chain initialization (the reference's own
+    approximate-MMSE script offers noise/adjoint/LS starts,
+    test_mmse.py:195-202; "lmmse" uses baselines/lmmse.py with `init_cov`,
+    default the train-set empirical covariance). With a warm init,
+    `sigma_start` truncates the σ-schedule to levels σ_i ≤ sigma_start
+    (the full anneal from σ=39 would resample the state and erase any
+    init — measured in the round-3 lab). The α(σ_i/σ_end)² law is
+    unchanged, so this is the reference sampler run on the schedule tail;
+    it also cuts NFEs by the truncated fraction.
     """
     cfg = config
     sigmas = sigmas_from_config(cfg.model)
@@ -199,6 +213,16 @@ def run_snr_sweep(
         alpha_step = np.asarray(alpha_step) * alpha_scale
         if stop_steps is not None:
             stop_steps = np.asarray(stop_steps) // level_stride
+    if sigma_start is not None:
+        k0 = int(np.searchsorted(-np.asarray(sigmas), -float(sigma_start)))
+        if k0 >= sigmas.shape[0]:
+            raise ValueError(
+                f"sigma_start={sigma_start} truncates the whole schedule "
+                f"(sigma_end={float(sigmas[-1]):.2e})")
+        sigmas = sigmas[k0:]
+        if stop_steps is not None:
+            stop_steps = np.maximum(
+                np.asarray(stop_steps) - k0 * sampling.steps_each, 0)
 
     k_pilot, k_init, k_meas, k_run = jax.random.split(key, 4)
 
@@ -223,6 +247,20 @@ def run_snr_sweep(
             if np.ndim(beta_noise) else jnp.full((S * C,), beta_noise))
 
     Y_b = physics.measure_c2(k_meas, A_b, X_b, npow_b)
+
+    if init == "ls":
+        from ..baselines.ls import ls_estimate
+
+        x0_b = ls_estimate(A_b, Y_b, npow_b)
+    elif init == "lmmse":
+        from ..baselines.lmmse import lmmse_estimate_c2
+
+        if init_cov is None:
+            raise ValueError("init='lmmse' requires init_cov")
+        x0_np, _ = lmmse_estimate_c2(A_b, Y_b, np.asarray(npow_b), init_cov)
+        x0_b = jnp.asarray(x0_np)
+    elif init != "noise":
+        raise ValueError(init)
 
     cap_b = None
     if stop_steps is not None:  # per-SNR early stop, trailing-step units
@@ -261,12 +299,18 @@ def run_estimation(
     stop_steps=None,
     save_channels_to: Optional[str] = None,
     level_stride: int = 1,
+    init: str = "noise",
+    sigma_start: Optional[float] = None,
 ) -> EstimationResults:
     """Full test_score.py reproduction incl. cross-distribution (OOD) eval.
 
     train_profile fixes normalization stats (test_score.py:68-69);
     test_profile selects the evaluated channel distribution
     (test_score.py:97-101) — e.g. train CDL-C, test CDL-A/B/D.
+
+    init/sigma_start: warm-start mode (see run_snr_sweep). The LMMSE
+    warm-start covariance is the TRAIN profile's empirical covariance —
+    no test-distribution knowledge, consistent with the OOD protocol.
     """
     if snr_range is None:
         snr_range = np.arange(-10, 32.5, 2.5)  # test_score.py:72
@@ -277,13 +321,25 @@ def run_estimation(
     train_ds = ChannelDataset(train_seed, train_cfg,
                               norm=config.data.norm_channels)
 
-    n_sp, n_al, S = len(spacing_range), len(pilot_alpha_range), len(snr_range)
-    n_levels = config.model.num_classes
-    if level_stride > 1:
-        from ..diffusion.sigmas import sigmas_from_config, subsample_schedule
+    init_cov = None
+    if init == "lmmse":
+        from ..baselines.lmmse import empirical_covariance
 
-        n_levels = subsample_schedule(
-            sigmas_from_config(config.model), level_stride)[0].shape[0]
+        init_cov = empirical_covariance(train_ds)
+
+    n_sp, n_al, S = len(spacing_range), len(pilot_alpha_range), len(snr_range)
+    from ..diffusion.sigmas import sigmas_from_config as _sfc
+
+    sig_full = np.asarray(_sfc(config.model))
+    if level_stride > 1:
+        from ..diffusion.sigmas import subsample_schedule
+
+        sig_full = np.asarray(
+            subsample_schedule(jnp.asarray(sig_full), level_stride)[0])
+    if sigma_start is not None:
+        sig_full = sig_full[
+            int(np.searchsorted(-sig_full, -float(sigma_start))):]
+    n_levels = sig_full.shape[0]
     n_steps = n_levels * config.sampling.steps_each
     nmse_log = np.zeros((n_sp, n_al, S, n_steps, num_channels), np.float32)
 
@@ -304,6 +360,7 @@ def run_estimation(
                 num_channels=num_channels, alpha_step=alpha_step,
                 beta_noise=beta_noise, chunk_size=chunk_size, mesh=mesh,
                 stop_steps=stop_steps, level_stride=level_stride,
+                init=init, sigma_start=sigma_start, init_cov=init_cov,
                 return_estimates=save_channels_to is not None)
             if save_channels_to is not None:
                 nmse_log[i_sp, i_al], est = out
@@ -352,6 +409,14 @@ def main(argv=None):
                    help="shortcut inference: keep every k-th sigma level "
                         "(alpha auto-scaled by k) — a speed/quality knob "
                         "the reference lacks")
+    p.add_argument("--init", type=str, default="noise",
+                   choices=["noise", "ls", "lmmse"],
+                   help="chain initialization (reference protocol: noise; "
+                        "ls/lmmse warm starts per test_mmse.py:195-202 / "
+                        "baselines/lmmse.py)")
+    p.add_argument("--sigma_start", type=float, default=None,
+                   help="truncate the sigma schedule at this level (warm "
+                        "starts need it; default 0.05 when --init != noise)")
     p.add_argument("--save_channels", type=str, default=None,
                    help="save estimated + oracle channels to this npz "
                         "(reference test_score.py:19 --save_channels); with "
@@ -393,6 +458,9 @@ def main(argv=None):
             if snr_range is None:
                 snr_range = h["snr_range"]
 
+    sigma_start = args.sigma_start
+    if sigma_start is None and args.init != "noise":
+        sigma_start = 0.05
     res = run_estimation(
         score_fn, config, train_profile=args.train, test_profile=args.test,
         snr_range=snr_range,
@@ -401,7 +469,7 @@ def main(argv=None):
         num_channels=args.num_channels, chunk_size=args.chunk,
         alpha_step=alpha_step, beta_noise=beta_noise,
         stop_steps=stop_steps, save_channels_to=args.save_channels,
-        level_stride=args.stride)
+        level_stride=args.stride, init=args.init, sigma_start=sigma_start)
 
     out = args.output or (f"results/score/train-{args.train}_test-{args.test}"
                           "/results.npz")

@@ -47,7 +47,10 @@ def _bp_iter_kernel(llr_ref, mask_ref, c2v_ref, out_ref, *,
     llr = llr_ref[...]            # (TB, 1, n)
     mask = mask_ref[...]          # (1, m, n)
 
-    # variable totals and extrinsic variable→check messages
+    # variable totals and extrinsic variable→check messages (c2v is
+    # re-masked here so external callers may pass unmasked messages; the
+    # jnp oracle applies the same mask to its carry)
+    c2v = c2v * mask
     total = llr + jnp.sum(c2v, axis=1, keepdims=True)
     c_in = (total - c2v) * mask
 

@@ -140,3 +140,93 @@ def test_strided_shortcut_inference():
     assert full.nmse_log.shape[3] == 12 * 3
     assert strided.nmse_log.shape[3] == 5 * 3  # 12/3=4 levels + sigma_end
     assert np.all(np.isfinite(strided.best_nmse))
+
+
+def test_warm_start_lmmse_truncated_schedule():
+    """estimate --init lmmse --sigma_start: with a zero score and zero
+    alpha-free... the warm-start mode must (a) truncate the schedule at
+    sigma_start, (b) start the chain AT the LMMSE estimate (first-step
+    NMSE ~ the LMMSE NMSE, far below the noise-init first step), and
+    (c) keep the min-over-steps at least as good as the init."""
+    import dataclasses as _dc
+
+    cfg = tiny_config(num_classes=40, num_channels=32)
+    # tiny schedule must actually reach below sigma_start
+    cfg = cfg.replace(model=_dc.replace(cfg.model, sigma_rate=0.8))
+    zero = lambda x, s: jnp.zeros_like(x)
+    kw = dict(snr_range=np.array([10.0]), num_channels=6, seed=3)
+    cold = run_estimation(zero, cfg, **kw)
+    warm = run_estimation(zero, cfg, **kw, init="lmmse", sigma_start=0.5)
+    # (a) truncation: fewer recorded steps
+    assert warm.nmse_log.shape[3] < cold.nmse_log.shape[3]
+    # (b) warm chain starts near the LMMSE solution
+    first_cold = cold.avg_nmse[0, 0, 0, 0]
+    first_warm = warm.avg_nmse[0, 0, 0, 0]
+    assert first_warm < 0.5 * first_cold
+    # (c) best-over-steps no worse than ~the init point
+    assert warm.best_nmse[0, 0, 0] <= first_warm * 1.05
+
+
+def test_ls_init_runs():
+    import dataclasses as _dc
+
+    cfg = tiny_config(num_classes=8, num_channels=16)
+    cfg = cfg.replace(model=_dc.replace(cfg.model, sigma_rate=0.5))
+    zero = lambda x, s: jnp.zeros_like(x)
+    res = run_estimation(zero, cfg, snr_range=np.array([0.0]),
+                         num_channels=4, init="ls", sigma_start=1.0)
+    assert np.all(np.isfinite(res.best_nmse))
+
+
+def test_lmmse_baseline_matches_dense_kron():
+    """baselines/lmmse.py einsum path == explicit kron construction."""
+    from score_based_channels_tpu.baselines.lmmse import lmmse_estimate
+
+    rng = np.random.default_rng(0)
+    Nt, Nr, Np_ = 8, 3, 5
+    n = Nt * Nr
+    Cov = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    Cov = Cov @ Cov.conj().T
+    A = rng.standard_normal((2, Np_, Nt)) + 1j * rng.standard_normal(
+        (2, Np_, Nt))
+    X = rng.standard_normal((2, Nt, Nr)) + 1j * rng.standard_normal(
+        (2, Nt, Nr))
+    Y = np.einsum("bpt,btr->bpr", A, X)
+    npow = np.array([0.5, 2.0])
+    xh, pred = lmmse_estimate(A, Y, npow, Cov, predict_mmse=True)
+    for i in range(2):
+        M = np.kron(np.eye(Nr), A[i])
+        G = M @ Cov @ M.conj().T + npow[i] * np.eye(Np_ * Nr)
+        w = np.linalg.solve(G, Y[i].reshape(-1, order="F"))
+        ref = (Cov @ M.conj().T @ w).reshape(Nt, Nr, order="F")
+        np.testing.assert_allclose(xh[i], ref, rtol=1e-5, atol=1e-6)
+        mm = (np.trace(Cov) - np.trace(
+            Cov @ M.conj().T @ np.linalg.solve(G, M @ Cov))).real \
+            / np.trace(Cov).real
+        np.testing.assert_allclose(pred[i], mm, rtol=1e-6)
+
+
+def test_corrected_analytic_covariance_matches_empirical():
+    """The random-coupling analytic covariance (round-3 correction) must
+    match the generator's empirical covariance far better than the
+    round-2 fixed-coupling form (which mismatched at rel-Frob ~0.96)."""
+    import dataclasses as _dc
+
+    from score_based_channels_tpu.data.dataset import ChannelDataset
+    from score_based_channels_tpu.eval.chanstats import (
+        analytic_full_covariance,
+    )
+
+    cfg = tiny_config()
+    ds = ChannelDataset(
+        99, _dc.replace(cfg.data, channel="CDL-C", num_channels=600),
+        norm="global")
+    H = np.asarray(ds.hermitian(normalized=True))
+    V = H.reshape(H.shape[0], -1, order="F")
+    emp = (V.T @ V.conj()) / V.shape[0]
+    ana_rand = analytic_full_covariance("CDL-C", ray_coupling="random")
+    ana_fix = analytic_full_covariance("CDL-C", ray_coupling="fixed")
+    err_rand = np.linalg.norm(emp - ana_rand) / np.linalg.norm(emp)
+    err_fix = np.linalg.norm(emp - ana_fix) / np.linalg.norm(emp)
+    assert err_rand < 0.25, err_rand     # finite-sample floor ~0.1-0.2 @600
+    assert err_fix > 2 * err_rand, (err_fix, err_rand)
