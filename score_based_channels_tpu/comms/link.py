@@ -164,16 +164,19 @@ def main(argv=None):
     """CLI: coded BER/BLER with estimated vs ideal CSI
     (test_end_to_end.m:38-60 — estimation and data SNRs are matched).
 
-    Runs on the CPU backend: this is an offline evaluation (MATLAB in the
-    reference), and the experimental TPU tunnel's compiler crashes on the
-    large dense BP-decoder scan.
+    Backend: auto (default) runs on the TPU when one is present — the
+    round-2 Pallas fused BP iteration (kernels/ldpc_minsum.py) replaced
+    the XLA decoder body whose HLO crashed the tunnel compiler, so the
+    production link path now exercises the kernel end-to-end (BENCH.md
+    "LDPC decoder kernel"). `--backend cpu` keeps the jnp-oracle path.
     """
-    import jax
-
-    jax.config.update("jax_platforms", "cpu")
     import argparse
 
+    import jax
+
     p = argparse.ArgumentParser(description="End-to-end coded link sim")
+    p.add_argument("--backend", type=str, default="auto",
+                   choices=["auto", "cpu"])
     p.add_argument("--channels", type=str, required=True,
                    help="npz from `estimate --save_channels` (est_* and "
                         "oracle_* arrays)")
@@ -189,6 +192,9 @@ def main(argv=None):
                         "enumeration, K-best tree search, or ZF-SIC")
     p.add_argument("--output", type=str, default=None)
     args = p.parse_args(argv)
+
+    if args.backend == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     with np.load(args.channels) as f:
         tag = f"sp{args.spacing_idx}_al{args.alpha_idx}"
