@@ -424,9 +424,13 @@ def main(argv=None):
                         "per-SNR stopping steps")
     p.add_argument("--output", type=str, default=None,
                    help="default results/score/train-<tr>_test-<te>/results.npz")
-    p.add_argument("--dtype", type=str, default="float32",
+    p.add_argument("--dtype", type=str, default="bfloat16",
                    choices=["float32", "bfloat16"],
-                   help="score-network compute dtype (state stays f32)")
+                   help="score-network compute dtype (Langevin state stays "
+                        "f32). bfloat16 is the recommended default: the "
+                        "full-schedule 17-SNR A/B is within 0.01 dB of f32 "
+                        "(BENCH.md 'Precision A/B') at +10%% throughput; "
+                        "--dtype float32 restores the conservative path")
     p.add_argument("--cache", type=str, default="/tmp/sbc_jax_cache")
     args = p.parse_args(argv)
 
