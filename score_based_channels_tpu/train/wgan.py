@@ -184,6 +184,11 @@ def main(argv=None):
     p.add_argument("--train", type=str, default="CDL-C")
     p.add_argument("--spacing", type=float, default=0.5)
     p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--nz", type=int, default=60,
+                   help="latent dimension (reference: 60, aux_gan.py:58; "
+                        "round-3 analysis: 60 real dims cannot cover the "
+                        "rank-36-complex CDL ensemble — the measured WGAN "
+                        "floor is manifold-capacity-limited, RESULTS.md)")
     p.add_argument("--output", type=str, default=None)
     p.add_argument("--cache", type=str, default="/tmp/sbc_jax_cache")
     args = p.parse_args(argv)
@@ -200,7 +205,8 @@ def main(argv=None):
     cfg = cfg.replace(data=dataclasses.replace(
         cfg.data, spacing_list=(args.spacing,)))
     out = args.output or f"models/wgan/{args.train}_{args.spacing:.2f}.npz"
-    train_wgan(cfg, checkpoint_path=out, n_epochs=args.epochs)
+    train_wgan(cfg, tc=WGANTrainConfig(nz=args.nz), checkpoint_path=out,
+               n_epochs=args.epochs)
 
 
 if __name__ == "__main__":

@@ -56,14 +56,27 @@ def test_profile_compressibility_ordering():
 
 
 def test_full_covariance_consistent_with_sides():
-    """Partial traces of the full vec-covariance reproduce R_tx/R_rx."""
-    C = analytic_full_covariance("CDL-C", num_rx=4, num_tx=8)
+    """Partial traces of the full vec-covariance reproduce R_tx/R_rx.
+
+    Checked in the steering-vector orientation (data_layout=False) and,
+    since round 3, for BOTH ray-coupling ensembles: coupling permutes a
+    per-cluster sum, so the side marginals are coupling-invariant even
+    though the full covariances differ (erank 36 vs 16.5 at 64×16)."""
     n_t, n_r = 8, 4
-    assert np.isclose(np.trace(C).real, n_t * n_r, atol=1e-6)
-    Cb = C.reshape(n_r, n_t, n_r, n_t)
-    R_tx = np.einsum("rtrs->ts", Cb) / (n_t * n_r)
-    R_tx_ref, _ = analytic_covariances("CDL-C", num_rx=4, num_tx=8)
-    assert cov_rel_error(R_tx, R_tx_ref) < 1e-9
+    R_tx_ref, _ = analytic_covariances("CDL-C", num_rx=n_r, num_tx=n_t)
+    for rc in ("random", "fixed"):
+        C = analytic_full_covariance("CDL-C", num_rx=n_r, num_tx=n_t,
+                                     ray_coupling=rc, data_layout=False)
+        assert np.isclose(np.trace(C).real, n_t * n_r, atol=1e-6)
+        Cb = C.reshape(n_r, n_t, n_r, n_t)
+        R_tx = np.einsum("rtrs->ts", Cb) / (n_t * n_r)
+        assert cov_rel_error(R_tx, R_tx_ref) < 1e-9, rc
+    # the data-layout covariance is exactly the conjugate
+    Cd = analytic_full_covariance("CDL-C", num_rx=n_r, num_tx=n_t,
+                                  ray_coupling="random", data_layout=True)
+    Cs = analytic_full_covariance("CDL-C", num_rx=n_r, num_tx=n_t,
+                                  ray_coupling="random", data_layout=False)
+    np.testing.assert_allclose(Cd, Cs.conj(), rtol=0, atol=1e-12)
 
 
 @pytest.mark.parametrize("profile", ["CDL-C", "CDL-D"])
