@@ -16,6 +16,7 @@ Commands mirror the reference's entry scripts (SURVEY.md L6):
   link          matlab/test_end_to_end.m — coded BER/BLER link simulation
   generate-data matlab/generate_data.m — CDL dataset files
   chanstats     generator statistics vs the TR 38.901 analytic tables
+  plots         plot_ood_results.py — figures from saved results npz
 """
 
 import sys
@@ -56,6 +57,8 @@ def main() -> None:
         from .data.generate import main as m
     elif cmd == "chanstats":
         from .eval.chanstats import main as m
+    elif cmd == "plots":
+        from .eval.plots import main as m
     else:
         print(__doc__)
         raise SystemExit(f"unknown command: {cmd}")

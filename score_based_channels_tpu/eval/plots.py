@@ -107,3 +107,75 @@ def plot_ood_comparison(
     _ensure_dir(path)
     plt.savefig(path, dpi=300, bbox_inches="tight")
     plt.close()
+
+
+def main(argv=None):
+    """CLI: regenerate the committed figures from saved results npz files.
+
+    `plots --compare results/score/train-CDL-C_test-CDL-C/results.npz \
+           results_warm.npz --labels reference warm --bound` overlays
+    estimate runs (Fig. 5c style) with the corrected analytic genie
+    bound; `--ood` builds the cross-profile overlay from the standard
+    results layout."""
+    import argparse
+
+    p = argparse.ArgumentParser(description="Result plotting")
+    p.add_argument("--compare", nargs="+", type=str, default=None,
+                   help="results npz files to overlay")
+    p.add_argument("--labels", nargs="+", type=str, default=None)
+    p.add_argument("--bound", action="store_true",
+                   help="overlay the corrected analytic genie bound "
+                        "(chanstats, ray_coupling=random)")
+    p.add_argument("--bound_profile", type=str, default="CDL-C")
+    p.add_argument("--ood", action="store_true",
+                   help="overlay train-CDL-C_test-* oracle-stop curves")
+    p.add_argument("--results_dir", type=str, default="results/score")
+    p.add_argument("--suffix", type=str, default="results.npz",
+                   help="per-profile results file name for --ood")
+    p.add_argument("--output", type=str, required=True)
+    args = p.parse_args(argv)
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from matplotlib import pyplot as plt
+
+    if args.ood:
+        by_prof = {}
+        for prof in ("CDL-C", "CDL-A", "CDL-B", "CDL-D"):
+            f = os.path.join(args.results_dir,
+                             f"train-CDL-C_test-{prof}", args.suffix)
+            if os.path.exists(f):
+                by_prof[prof] = EstimationResults.load(f)
+        plot_ood_comparison(by_prof, args.output)
+        print(f"saved {args.output} ({len(by_prof)} profiles)")
+        return
+
+    plt.rcParams["font.size"] = 14
+    plt.figure(figsize=(10, 8))
+    labels = args.labels or [os.path.basename(f) for f in args.compare]
+    snr = None
+    for f, lab in zip(args.compare, labels):
+        res = EstimationResults.load(f)
+        snr = res.snr_range
+        plt.plot(snr, res.best_nmse_db()[0, 0], linewidth=3, label=lab)
+    if args.bound and snr is not None:
+        from .chanstats import lmmse_bound_db
+
+        b = lmmse_bound_db(args.bound_profile, np.asarray(snr),
+                           num_pilot_draws=2)
+        plt.plot(snr, b, "k--", linewidth=2,
+                 label="genie bound (corrected)")
+    plt.grid()
+    plt.legend()
+    plt.xlabel("SNR [dB]")
+    plt.ylabel("NMSE [dB]")
+    plt.tight_layout()
+    _ensure_dir(args.output)
+    plt.savefig(args.output, dpi=300, bbox_inches="tight")
+    plt.close()
+    print(f"saved {args.output}")
+
+
+if __name__ == "__main__":
+    main()
