@@ -97,6 +97,12 @@ class DataConfig:
     # Generation backend: "cdl" = built-in 3GPP-style CDL generator (replaces
     # the reference's MATLAB generate_data.m path); "file" = load .mat/.h5.
     source: str = "cdl"
+    # TR 38.901 §7.5 step-8 ray coupling: "random" redraws the per-cluster
+    # departure/arrival pairing each realization (the standard's ensemble,
+    # erank≈36 at 64×16); "fixed" keeps the table pairing per realization —
+    # the more concentrated (erank≈16.5) per-drop ensemble, the best
+    # available hypothesis for the reference's MATLAB data (RESULTS.md r3).
+    ray_coupling: str = "random"
 
     @property
     def image_size(self) -> Tuple[int, int]:

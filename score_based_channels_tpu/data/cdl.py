@@ -205,7 +205,8 @@ def _vertical_ula_response(zenith_rad: Array, n_elem: int, spacing: float) -> Ar
 
 
 @partial(jax.jit, static_argnames=("profile_name", "num_rx", "num_tx",
-                                   "num_subcarriers", "subcarrier_gap"))
+                                   "num_subcarriers", "subcarrier_gap",
+                                   "ray_coupling"))
 def _generate_one(
     key: Array,
     profile_name: str,
@@ -216,6 +217,7 @@ def _generate_one(
     subcarrier_hz: float,
     num_subcarriers: int,
     subcarrier_gap: int,
+    ray_coupling: str = "random",
 ) -> Array:
     """One CDL realization → (num_subcarriers, Nr, Nt) complex64."""
     prof = CDL_PROFILES[profile_name]
@@ -235,20 +237,26 @@ def _generate_one(
     offs = jnp.asarray(RAY_OFFSETS_PM, jnp.float32)  # (M,) unitless
 
     k_phase, k_coup_a, k_coup_z = jax.random.split(key, 3)
-    # random ray coupling: permute the AoA/ZoA ray offsets per cluster
-    # (TR 38.901 step 8; implemented as independent per-cluster permutations)
-    perm_a = jax.vmap(lambda k: jax.random.permutation(k, n_rays))(
-        jax.random.split(k_coup_a, n_clusters))
-    perm_z = jax.vmap(lambda k: jax.random.permutation(k, n_rays))(
-        jax.random.split(k_coup_z, n_clusters))
+    # ray coupling (TR 38.901 step 8): "random" permutes the AoA/ZoA ray
+    # offsets per cluster PER REALIZATION (the standard's ensemble);
+    # "fixed" keeps the table pairing — the per-drop-conditioned ensemble
+    # (see config.DataConfig.ray_coupling and RESULTS.md round 3)
+    if ray_coupling == "random":
+        perm_z = jax.vmap(lambda k: jax.random.permutation(k, n_rays))(
+            jax.random.split(k_coup_z, n_clusters))
+    elif ray_coupling == "fixed":
+        perm_z = jnp.broadcast_to(jnp.arange(n_rays), (n_clusters, n_rays))
+    else:
+        raise ValueError(ray_coupling)
+    del k_coup_a  # azimuth coupling unused by the vertical-ULA geometry
 
     # per-ray angles (C, M); departure rays keep table order, arrival rays
-    # are randomly coupled via the per-cluster permutation
+    # are coupled via the per-cluster permutation
     ray_zod = zod[:, None] + prof.c_zsd * deg * jnp.broadcast_to(
         offs, (n_clusters, n_rays))
     ray_zoa = zoa[:, None] + prof.c_zsa * deg * jnp.take_along_axis(
         jnp.broadcast_to(offs, (n_clusters, n_rays)), perm_z, axis=1)
-    del perm_a, aod, aoa  # azimuths unused by the vertical-ULA geometry
+    del aod, aoa  # azimuths unused by the vertical-ULA geometry
 
     # random initial phases per ray (single polarization)
     phases = jax.random.uniform(
@@ -294,6 +302,7 @@ def generate_cdl_channels(
     subcarrier_hz: float = 15e3,
     num_subcarriers: int = 10,
     subcarrier_gap: int = 24,
+    ray_coupling: str = "random",
 ) -> np.ndarray:
     """Batch-generate CDL realizations → (N, S, Nr, Nt) complex64 (host array).
 
@@ -314,5 +323,6 @@ def generate_cdl_channels(
             num_channels)
         gen = jax.vmap(lambda k: _generate_one(
             k, profile, num_rx, num_tx, spacing, delay_spread_s,
-            subcarrier_hz, num_subcarriers, subcarrier_gap))
+            subcarrier_hz, num_subcarriers, subcarrier_gap,
+            ray_coupling=ray_coupling))
         return np.asarray(jax.device_get(gen(keys)))

@@ -88,7 +88,8 @@ class ChannelDataset:
                 output_h = generate_cdl_channels(
                     seed=seed, profile=data.channel,
                     num_channels=data.num_channels, num_rx=data.num_rx,
-                    num_tx=data.num_tx, spacing=spacing)
+                    num_tx=data.num_tx, spacing=spacing,
+                    ray_coupling=getattr(data, "ray_coupling", "random"))
             # keep only the first subcarrier (loaders.py:33)
             chans.append(np.asarray(output_h[:, 0], np.complex64))
         self.channels = np.reshape(

@@ -313,6 +313,12 @@ def main(argv=None):
                         "built-in CDL generator allows arbitrarily more)")
     p.add_argument("--output", type=str, default=None,
                    help="checkpoint path (default models/score/<ch>/final_model.npz)")
+    p.add_argument("--ray_coupling", type=str, default="random",
+                   choices=["random", "fixed"],
+                   help="generator ensemble (DataConfig.ray_coupling): "
+                        "'fixed' trains on the per-drop-conditioned "
+                        "ensemble — the reference-data hypothesis "
+                        "(RESULTS.md round 3)")
     p.add_argument("--cache", type=str, default="/tmp/sbc_jax_cache")
     args = p.parse_args(argv)
 
@@ -330,6 +336,9 @@ def main(argv=None):
     if args.train_size:
         cfg = cfg.replace(data=_dc.replace(cfg.data,
                                            num_channels=args.train_size))
+    if args.ray_coupling != "random":
+        cfg = cfg.replace(data=_dc.replace(cfg.data,
+                                           ray_coupling=args.ray_coupling))
     out = args.output or f"models/score/{args.train}/final_model.npz"
     trainer = ScoreTrainer(cfg)
     trainer.train(checkpoint_path=out, n_epochs=args.epochs)

@@ -94,3 +94,27 @@ def test_lmmse_bound_ordering_los_easiest():
     b_c = lmmse_bound_db("CDL-C", snr, num_pilot_draws=1)[0]
     b_d = lmmse_bound_db("CDL-D", snr, num_pilot_draws=1)[0]
     assert b_d < b_c - 3.0
+
+
+def test_generator_ray_coupling_modes_match_their_analytic_forms():
+    """data/cdl.py ray_coupling={random,fixed} must each converge to ITS
+    analytic covariance and mismatch the other's (round-3 mechanism)."""
+    from score_based_channels_tpu.data.cdl import generate_cdl_channels
+
+    def emp_cov(rc):
+        H = generate_cdl_channels(5, "CDL-C", num_channels=400,
+                                  ray_coupling=rc)[:, 0]
+        X = np.conj(np.swapaxes(H, -1, -2))
+        X = X / np.sqrt(np.mean(np.abs(X) ** 2))
+        V = X.reshape(X.shape[0], -1, order="F")
+        return (V.T @ V.conj()) / V.shape[0]
+
+    ana = {rc: analytic_full_covariance("CDL-C", ray_coupling=rc)
+           for rc in ("random", "fixed")}
+    for rc in ("random", "fixed"):
+        E = emp_cov(rc)
+        err_own = np.linalg.norm(E - ana[rc]) / np.linalg.norm(E)
+        other = "fixed" if rc == "random" else "random"
+        err_other = np.linalg.norm(E - ana[other]) / np.linalg.norm(E)
+        assert err_own < 0.35, (rc, err_own)     # finite-sample floor @400
+        assert err_other > 1.5 * err_own, (rc, err_own, err_other)
