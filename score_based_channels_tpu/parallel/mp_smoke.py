@@ -6,8 +6,13 @@ process calls `jax.distributed.initialize`, all processes build ONE
 global ('data',) mesh spanning every device of every process, and run
 
   1. a data-parallel DSM train step (batch sharded, model replicated,
-     gradient psum inserted by XLA — crossing the process boundary), and
-  2. a sharded annealed-Langevin sweep chunk (the inference path),
+     gradient psum inserted by XLA — crossing the process boundary),
+  2. a checkpoint round-trip: process 0 saves the post-step state with
+     utils.checkpoint, every process restores it and asserts bitwise
+     equality with its live replicated state, and
+  3. a sharded annealed-Langevin sweep chunk (the inference path) driven
+     by the RESTORED EMA network — the full train → checkpoint →
+     estimate cycle across the process boundary,
 
 then print a per-process result line whose VALUES MUST AGREE across
 processes (the computation is globally SPMD).
@@ -28,6 +33,7 @@ the 2-process CPU case end-to-end in CI.
 from __future__ import annotations
 
 import argparse
+import os
 
 
 def run_smoke(platform: str | None = None) -> dict:
@@ -88,8 +94,37 @@ def run_smoke(platform: str | None = None) -> dict:
     state, loss = train_step(state, x, jax.random.key(1))
     loss = float(loss)  # replicated scalar → addressable everywhere
 
-    # --- 2. sharded inference sweep chunk ----------------------------------
-    Nt, Nr, Np_ = 16, 8, 10
+    # --- 2. checkpoint round-trip across the process boundary --------------
+    # Process 0 writes the post-step state (params/EMA/config in one
+    # artifact, utils/checkpoint.py); everyone restores and asserts bitwise
+    # equality with the live replicated state — covering the reference's
+    # save→load contract (train_score.py:211-216 → test_score.py:33-36)
+    # under multi-controller SPMD.
+    from jax.experimental import multihost_utils
+
+    from ..utils.checkpoint import load_checkpoint, save_checkpoint
+
+    ckpt_path = os.environ.get("MP_SMOKE_CKPT", "/tmp/mp_smoke_ckpt.npz")
+    if jax.process_index() == 0:
+        save_checkpoint(ckpt_path, cfg, state.params,
+                        ema_params=state.ema_params)
+    multihost_utils.sync_global_devices("mp_smoke_ckpt_saved")
+    restored = load_checkpoint(ckpt_path)
+    for name, live, back in (("params", state.params, restored["params"]),
+                             ("ema", state.ema_params,
+                              restored["ema"])):
+        live_np = jax.tree_util.tree_map(np.asarray, live)
+        flat_l, td_l = jax.tree_util.tree_flatten(live_np)
+        flat_r, td_r = jax.tree_util.tree_flatten(back)
+        assert td_l == td_r, f"{name}: restored treedef mismatch"
+        for a, b in zip(flat_l, flat_r):
+            np.testing.assert_array_equal(a, b,
+                                          err_msg=f"{name} round-trip")
+    ema_restored = jax.device_put(
+        jax.tree_util.tree_map(jnp.asarray, restored["ema"]), repl)
+
+    # --- 3. sharded inference sweep chunk (restored EMA network) -----------
+    Nt, Nr, Np_ = cfg.data.num_tx, cfg.data.num_rx, 10
     sig = get_sigmas(5.0, 0.01, 20)
     crandn = lambda *s: (rng.standard_normal(s) + 1j * rng.standard_normal(s)
                          ).astype(np.complex64) / np.sqrt(2)
@@ -104,16 +139,20 @@ def run_smoke(platform: str | None = None) -> dict:
         lambda k: cplx.randn(k, (batch, Nt, Nr)),
         out_shardings=c2sh)(jax.random.key(2))
 
+    from ..eval.estimate import score_fn_from_params
+
+    score_fn = score_fn_from_params(model, ema_restored)
+
     @jax.jit
     def sweep(a, y, x0, oracle):
         _, trace = annealed_langevin_posterior_c2(
-            lambda x, s: -x / (0.5 + s**2), a, y, sig,
+            score_fn, a, y, sig,
             jnp.float32(0.01), x0, jax.random.key(3),
             alpha_step=1e-6, beta_noise=0.001, steps_each=2, oracle=oracle)
         return trace[-1].mean()  # global mean: crosses the process boundary
 
     nmse = float(sweep(A2, Y2, x0, X2))
-    return {"loss": loss, "nmse_db": 10 * np.log10(nmse),
+    return {"loss": loss, "nmse_db": 10 * np.log10(nmse), "ckpt": "ok",
             "num_processes": jax.process_count(), "num_devices": n_dev}
 
 
@@ -140,7 +179,8 @@ def main(argv=None) -> None:
     # one parseable line per process; values must agree across processes
     print(f"MP_SMOKE_OK pid={jax.process_index()} "
           f"procs={out['num_processes']} devs={out['num_devices']} "
-          f"loss={out['loss']:.6f} nmse_db={out['nmse_db']:.4f}", flush=True)
+          f"loss={out['loss']:.6f} nmse_db={out['nmse_db']:.4f} "
+          f"ckpt={out['ckpt']}", flush=True)
 
 
 if __name__ == "__main__":

@@ -24,11 +24,12 @@ def _free_port() -> int:
 
 
 @pytest.mark.skipif(os.name != "posix", reason="needs posix subprocesses")
-def test_two_process_distributed_train_and_sweep():
+def test_two_process_distributed_train_and_sweep(tmp_path):
     port = _free_port()
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     env.pop("JAX_PLATFORMS", None)  # worker forces cpu via --platform
+    env["MP_SMOKE_CKPT"] = str(tmp_path / "mp_smoke_ckpt.npz")
     workers = [
         subprocess.Popen(
             [sys.executable, "-m",
@@ -58,3 +59,5 @@ def test_two_process_distributed_train_and_sweep():
                 for ln in lines]
     assert stripped[0] == stripped[1], lines
     assert "procs=2 devs=4" in stripped[0], lines
+    # the save→restore→estimate cycle ran and the restored state matched
+    assert "ckpt=ok" in stripped[0], lines
