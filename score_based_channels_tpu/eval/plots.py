@@ -127,6 +127,11 @@ def main(argv=None):
                    help="overlay the corrected analytic genie bound "
                         "(chanstats, ray_coupling=random)")
     p.add_argument("--bound_profile", type=str, default="CDL-C")
+    p.add_argument("--bound_coupling", type=str, default="random",
+                   choices=["random", "fixed"],
+                   help="ray-coupling ensemble for the --bound curve "
+                        "(match the ensemble the results were run on; "
+                        "the committed fixed-ensemble fig5c uses 'fixed')")
     p.add_argument("--ood", action="store_true",
                    help="overlay train-CDL-C_test-* oracle-stop curves")
     p.add_argument("--results_dir", type=str, default="results/score")
@@ -139,6 +144,10 @@ def main(argv=None):
 
     matplotlib.use("Agg")
     from matplotlib import pyplot as plt
+
+    if not args.ood and not args.compare:
+        p.error("pass --compare <results.npz...> and/or --ood "
+                "(nothing to plot)")
 
     if args.ood:
         by_prof = {}
@@ -163,9 +172,10 @@ def main(argv=None):
         from .chanstats import lmmse_bound_db
 
         b = lmmse_bound_db(args.bound_profile, np.asarray(snr),
-                           num_pilot_draws=2)
+                           num_pilot_draws=2,
+                           ray_coupling=args.bound_coupling)
         plt.plot(snr, b, "k--", linewidth=2,
-                 label="genie bound (corrected)")
+                 label=f"genie bound ({args.bound_coupling} coupling)")
     plt.grid()
     plt.legend()
     plt.xlabel("SNR [dB]")
