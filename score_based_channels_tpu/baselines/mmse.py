@@ -58,7 +58,7 @@ def run_mmse_estimation(
     spacing: float = 0.5,
     num_channels: int = 20,
     mmse_avg: int = 50,
-    init: str = "noise",  # {noise, adjoint, ls} (test_mmse.py:195-202)
+    init: str = "noise",  # {noise, adjoint, ls, lmmse} (test_mmse.py:195-202)
     alpha_step=None,
     beta_noise=None,
     stop_step: Optional[np.ndarray] = None,  # per-SNR early stop (int)
@@ -66,7 +66,16 @@ def run_mmse_estimation(
     val_seed: int = 4321,
     seed: int = 31,
     chunk_size: Optional[int] = None,
+    sigma_start: Optional[float] = None,
+    coef_cap: Optional[str | float] = None,
+    progress: bool = False,
 ) -> MMSEResults:
+    """init="lmmse" + sigma_start enable the round-3 warm-start protocol
+    (RESULTS.md): chains start at the exact-LMMSE estimate (train-set
+    empirical covariance) and the σ-schedule is truncated to σ ≤
+    sigma_start — the corrected-temperature (β=1) posterior-averaging
+    protocol runs either from noise on the full schedule (reference
+    test_mmse.py shape) or warm on the truncated one."""
     cfg = config
     if snr_range is None:
         snr_range = np.arange(-10, 32.5, 2.5)
@@ -94,6 +103,13 @@ def run_mmse_estimation(
                             num_pilots=num_pilots)
 
     sigmas = sigmas_from_config(cfg.model)
+    if sigma_start is not None:
+        sig_np = np.asarray(sigmas)
+        k0 = int(np.searchsorted(-sig_np, -float(sigma_start)))
+        if k0 >= len(sig_np):
+            raise ValueError(f"sigma_start={sigma_start} truncates the "
+                             "whole schedule")
+        sigmas = sigmas[k0:]
     key = jax.random.key(seed)
     kp, km, ki, kr = jax.random.split(key, 4)
 
@@ -123,6 +139,14 @@ def run_mmse_estimation(
         x0_b = cplx.matmul(cplx.conj_transpose(A_b), Y_b)
     elif init == "ls":
         x0_b = ls_estimate(A_b, Y_b, npow_b)
+    elif init == "lmmse":
+        # warm start at the exact LMMSE estimate (round-3 protocol); solve
+        # only the S·C distinct systems, then tile across the R replicas
+        from .lmmse import empirical_covariance, lmmse_estimate_c2
+
+        cov = empirical_covariance(train_ds)
+        x0_sc, _ = lmmse_estimate_c2(A_sc, Y_sc, np.asarray(npow_sc), cov)
+        x0_b = jnp.tile(jnp.asarray(x0_sc), (R, 1, 1, 1))
     else:
         raise ValueError(init)
     if init != "noise":
@@ -132,6 +156,18 @@ def run_mmse_estimation(
     B = A_b.shape[0]
     al_b = jnp.broadcast_to(_per_sample(alpha_step, C, R), (B,))
     be_b = jnp.broadcast_to(_per_sample(beta_noise, C, R), (B,))
+    cap_coef_b = None
+    if coef_cap is not None:
+        if coef_cap == "auto":
+            # 0.5/λ_max(AᴴA) per channel — the β=1 stability cap
+            A_np = np.asarray(A2)
+            Ac = A_np[..., 0] + 1j * A_np[..., 1]
+            lam = np.linalg.eigvalsh(
+                np.einsum("cpi,cpj->cij", Ac.conj(), Ac))[:, -1]
+            cap_c = (0.5 / lam).astype(np.float32)  # (C,)
+            cap_coef_b = jnp.tile(jnp.asarray(np.tile(cap_c, S_)), (R,))
+        else:
+            cap_coef_b = jnp.full((B,), float(coef_cap), jnp.float32)
     cap_b = None
     if stop_step is not None:
         lvls = (np.asarray(stop_step, np.int64)
@@ -140,20 +176,46 @@ def run_mmse_estimation(
             lvls = np.full((S_,), int(lvls), np.int32)
         cap_b = jnp.tile(jnp.repeat(jnp.asarray(lvls), C), (R,))
     chunk = chunk_size or B
-    sampler = jax.jit(lambda a, y, npw, x0, k, al, be, cap:
+    # pad to a whole number of chunks: a ragged final chunk would be a
+    # SECOND compiled program (fresh 2311-level scan compiles cost tens of
+    # minutes on the tunnel); padded rows are dropped after the run
+    B_pad = ((B + chunk - 1) // chunk) * chunk
+    if B_pad != B:
+        ext = B_pad - B
+
+        def _pad(t):
+            return (None if t is None
+                    else jnp.concatenate([t, t[:ext]], axis=0))
+
+        A_b, Y_b, x0_b = _pad(A_b), _pad(Y_b), _pad(x0_b)
+        npow_b = _pad(npow_b)
+        al_b, be_b = _pad(al_b), _pad(be_b)
+        cap_b, cap_coef_b = _pad(cap_b), _pad(cap_coef_b)
+    sampler = jax.jit(lambda a, y, npw, x0, k, al, be, cap, ccap:
                       annealed_langevin_posterior_c2(
                           score_fn, a, y, sigmas, npw, x0, k,
                           alpha_step=al, beta_noise=be,
                           steps_each=sampling.steps_each, oracle=None,
-                          capture_level=cap))
+                          capture_level=cap, coef_cap=ccap))
     finals = []
-    for start in range(0, B, chunk):
+    import sys
+    import time
+
+    t0 = time.time()
+    for start in range(0, B_pad, chunk):
         sl = slice(start, start + chunk)
         xf, _ = sampler(A_b[sl], Y_b[sl], npow_b[sl], x0_b[sl],
                         jax.random.fold_in(kr, start), al_b[sl], be_b[sl],
-                        cap_b[sl] if cap_b is not None else None)
+                        cap_b[sl] if cap_b is not None else None,
+                        cap_coef_b[sl] if cap_coef_b is not None else None)
         finals.append(np.asarray(jax.device_get(xf)))  # c2, real — safe
-    xf = np.concatenate(finals, 0).reshape(R, S, C, *X2.shape[1:])
+        if progress:
+            done = min(start + chunk, B_pad)
+            rate = done / max(time.time() - t0, 1e-9)
+            print(f"# mmse {done}/{B_pad} estimates "
+                  f"({rate:.1f}/s, eta {(B_pad - done) / rate:.0f}s)",
+                  file=sys.stderr, flush=True)
+    xf = np.concatenate(finals, 0)[:B].reshape(R, S, C, *X2.shape[1:])
 
     mean_est = xf.mean(axis=0)  # posterior mean (S, C, Nt, Nr, 2)
     X_np = np.asarray(X2)
@@ -178,9 +240,25 @@ def main(argv=None):
     p.add_argument("--num_channels", type=int, default=20)
     p.add_argument("--mmse_avg", type=int, default=50)
     p.add_argument("--init", type=str, default="noise",
-                   choices=["noise", "adjoint", "ls"])
+                   choices=["noise", "adjoint", "ls", "lmmse"])
     p.add_argument("--alpha_step", type=float, default=None)
+    p.add_argument("--chat", type=float, default=None,
+                   help="set alpha_step = chat·σ_end², i.e. the per-level "
+                        "step α_i = chat·σ_i² (the round-3 lab's capped "
+                        "β=1 law; use with --coef_cap auto)")
     p.add_argument("--beta_noise", type=float, default=None)
+    p.add_argument("--sigma_start", type=float, default=None,
+                   help="truncate the σ-schedule to σ ≤ this (warm-start "
+                        "protocol; use with --init lmmse)")
+    p.add_argument("--coef_cap", type=str, default=None,
+                   help="data-consistency coefficient cap: 'auto' = "
+                        "0.5/λ_max(AᴴA) per channel (required for β=1 "
+                        "noise-init chains), or a float, or omit for the "
+                        "reference rule")
+    p.add_argument("--dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="network compute dtype (bf16 ≈ +10%% NFE/s, "
+                        "≤0.01 dB NMSE delta — BENCH.md Precision A/B)")
     p.add_argument("--chunk", type=int, default=256)
     p.add_argument("--output", type=str, default=None)
     p.add_argument("--cache", type=str, default="/tmp/sbc_jax_cache")
@@ -201,19 +279,37 @@ def main(argv=None):
     config = ck["config"]
     model = make_score_model(config.model, config.data.channels)
     params = ck["ema"] if ck["ema"] is not None else ck["params"]
-    score_fn = score_fn_from_params(model, params)
+    import jax.numpy as _jnp
+
+    score_fn = score_fn_from_params(
+        model, params,
+        dtype=_jnp.bfloat16 if args.dtype == "bfloat16" else None)
+
+    alpha_step = args.alpha_step
+    if args.chat is not None:
+        if alpha_step is not None:
+            p.error("--chat and --alpha_step are mutually exclusive")
+        from ..diffusion.sigmas import sigmas_from_config as _sfc
+
+        alpha_step = float(args.chat) * float(np.asarray(_sfc(
+            config.model))[-1]) ** 2
 
     res = run_mmse_estimation(
         score_fn, config, channel=args.train,
         snr_range=np.asarray(args.snr) if args.snr else None,
         num_channels=args.num_channels, mmse_avg=args.mmse_avg,
-        init=args.init, alpha_step=args.alpha_step,
-        beta_noise=args.beta_noise, chunk_size=args.chunk)
+        init=args.init, alpha_step=alpha_step,
+        beta_noise=args.beta_noise, chunk_size=args.chunk,
+        sigma_start=args.sigma_start,
+        coef_cap=(args.coef_cap if args.coef_cap in (None, "auto")
+                  else float(args.coef_cap)),
+        progress=True)
     for s, snr in enumerate(res.snr_range):
         print(f"SNR {snr:6.1f} dB  MMSE-avg NMSE {res.avg_db()[s]:7.2f} dB  "
               f"(single sample "
               f"{10 * np.log10(res.nmse_single.mean(-1)[s]):7.2f} dB)")
-    out = args.output or f"results/mmse/{args.train}.npz"
+    out = args.output or (f"results/mmse/{args.train}-{args.init}"
+                          f"-beta{args.beta_noise}.npz")
     res.save(out)
     print(f"saved {out}")
 

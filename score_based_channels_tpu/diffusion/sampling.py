@@ -66,6 +66,7 @@ def annealed_langevin_posterior_c2(
     steps_each: int = 3,
     oracle: Optional[Array] = None,
     capture_level: Optional[Array] = None,
+    coef_cap: Optional[Array] = None,
 ) -> Tuple[Array, Optional[Array]]:
     """Run the full annealed-Langevin posterior schedule in one scan (c2).
 
@@ -88,6 +89,14 @@ def annealed_langevin_posterior_c2(
         to snapshot the iterate (tuned early stopping without re-running a
         truncated schedule); the snapshot is taken after that level's last
         inner step and returned instead of x at the final level.
+      coef_cap: optional scalar or (B,) cap on the data-consistency
+        coefficient α_i/(noise/2+σ_i²). The reference rule (None) lets the
+        coefficient grow as σ_i → σ_end, which at Langevin temperature
+        (β=1) crosses the 2/λ_max(AᴴA) stability bound of the data term;
+        capping at 0.5/λ_max keeps β=1 chains stable (round-3 diagnosis,
+        RESULTS.md "posterior-sampling characterization"). No effect on
+        the reference protocol where α_step ≈ 3e-11 keeps the coefficient
+        far below any reasonable cap.
 
     Returns:
       (x_final (B,Nt,Nr,2) — or the per-sample captured iterate when
@@ -116,6 +125,8 @@ def annealed_langevin_posterior_c2(
         alpha = alpha_b * (sigma / sigma_end) ** 2
         denom = np_b / 2.0 + sigma**2
         coef = alpha / denom
+        if coef_cap is not None:
+            coef = jnp.minimum(coef, _bcast(coef_cap, mat_ndim))
         noise_scale = jnp.sqrt(2.0 * alpha * beta_b)
         nmses = []
         for _ in range(steps_each):
