@@ -71,11 +71,31 @@ class Conv2d(nn.Module):
 
         kernel = self.param("kernel", _uniform, (k, k, in_features, self.features))
         pad = self.dilation * (k // 2)
+        kern = kernel.astype(x.dtype)
+        pad_h = pad_w = (pad, pad)
+        # Static dead-tap pruning: a dilated tap whose offset d·|di| reaches
+        # past the whole spatial extent only ever multiplies padding zeros
+        # (e.g. the reference's res4/res5 dilation-2/4 convs on the 8×2 deep
+        # stages, where every ±dx column tap is dead — XLA still performs
+        # those FLOPs if we don't slice them out). Exactly equal numerics:
+        # the pruned taps contribute 0 by construction.
+        if self.dilation > 1 and k > 1:
+            H, W = x.shape[1], x.shape[2]
+            c = k // 2
+            keep_h = [i for i in range(k) if self.dilation * abs(i - c) < H]
+            keep_w = [i for i in range(k) if self.dilation * abs(i - c) < W]
+            if len(keep_h) < k or len(keep_w) < k:
+                kern = kern[keep_h[0]:keep_h[-1] + 1,
+                            keep_w[0]:keep_w[-1] + 1]
+                pad_h = (self.dilation * (c - keep_h[0]),
+                         self.dilation * (keep_h[-1] - c))
+                pad_w = (self.dilation * (c - keep_w[0]),
+                         self.dilation * (keep_w[-1] - c))
         y = jax.lax.conv_general_dilated(
             x,
-            kernel.astype(x.dtype),
+            kern,
             window_strides=(self.stride, self.stride),
-            padding=((pad, pad), (pad, pad)),
+            padding=(pad_h, pad_w),
             rhs_dilation=(self.dilation, self.dilation),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
