@@ -56,3 +56,57 @@ def test_module_toggle_uses_kernel():
         x, params["alpha"], params["gamma"], params["beta"], interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# conv_probe kernels (VERDICT r3 item 1 prototypes)
+# ---------------------------------------------------------------------------
+
+import pytest
+
+from score_based_channels_tpu.kernels.conv_probe import (
+    conv_chain, conv_im2col, conv_oracle, conv_pertap, live_taps,
+)
+
+
+@pytest.mark.parametrize("H,W,Cin,Cout,d", [
+    (8, 2, 16, 16, 1),
+    (8, 2, 16, 16, 4),   # dilated: only the dy column of taps is live
+    (16, 4, 8, 16, 2),
+    (4, 4, 8, 8, 1),
+])
+def test_conv_probe_matches_oracle(H, W, Cin, Cout, d):
+    B = 8
+    k1, k2 = jax.random.split(jax.random.key(H * W * Cin + d), 2)
+    x = jax.random.normal(k1, (H * W, B, Cin), jnp.float32)
+    w = jax.random.normal(k2, (3, 3, Cin, Cout), jnp.float32) / (3 * Cin)
+    b = jnp.linspace(-1, 1, Cout, dtype=jnp.float32)
+    want = conv_oracle(x, w, b, H, W, d)
+    got_t = conv_pertap(x, w, b, H, W, d, interpret=True)
+    got_i = conv_im2col(x, w, b, H, W, d, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_i), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_conv_probe_dead_taps():
+    # d=4 on 8x2: ±dx taps dead (offset ≥ W), ±dy live → 3 taps
+    assert len(live_taps(3, 4, 8, 2)) == 3
+    assert len(live_taps(3, 1, 8, 2)) == 9
+    assert len(live_taps(3, 2, 16, 4)) == 9
+
+
+def test_conv_chain_matches_unrolled_oracle():
+    H, W, C, B, n = 8, 2, 16, 8, 3
+    key = jax.random.key(11)
+    x = jax.random.normal(key, (H * W, B, C), jnp.float32)
+    ws = jax.random.normal(jax.random.fold_in(key, 1),
+                           (n, 3, 3, C, C), jnp.float32) / (3 * C)
+    bs = jnp.zeros((n, C), jnp.float32)
+    want = x
+    for i in range(n):
+        want = conv_oracle(want, ws[i], bs[i], H, W, 1, act=True)
+    got = conv_chain(x, ws, bs, H, W, 1, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
