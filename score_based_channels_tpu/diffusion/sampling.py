@@ -67,6 +67,7 @@ def annealed_langevin_posterior_c2(
     oracle: Optional[Array] = None,
     capture_level: Optional[Array] = None,
     coef_cap: Optional[Array] = None,
+    start_level: Optional[Array] = None,
 ) -> Tuple[Array, Optional[Array]]:
     """Run the full annealed-Langevin posterior schedule in one scan (c2).
 
@@ -97,6 +98,12 @@ def annealed_langevin_posterior_c2(
         RESULTS.md "posterior-sampling characterization"). No effect on
         the reference protocol where α_step ≈ 3e-11 keeps the coefficient
         far below any reasonable cap.
+      start_level: optional (B,) int32 — per-sample first ACTIVE σ-level;
+        before it the sample holds its initialization (all update terms
+        gated off). Lets warm-started samples (init at the LMMSE
+        estimate, effective schedule σ ≤ σ[start]) and full-anneal
+        samples (start 0) share one compiled scan — the mechanism behind
+        the residual-gated auto protocol (eval/estimate.py init="auto").
 
     Returns:
       (x_final (B,Nt,Nr,2) — or the per-sample captured iterate when
@@ -123,6 +130,9 @@ def annealed_langevin_posterior_c2(
         else:
             x, k = carry
         alpha = alpha_b * (sigma / sigma_end) ** 2
+        if start_level is not None:
+            active = (jnp.asarray(start_level, jnp.int32) <= lvl)
+            alpha = alpha * _bcast(active.astype(alpha_b.dtype), mat_ndim)
         denom = np_b / 2.0 + sigma**2
         coef = alpha / denom
         if coef_cap is not None:

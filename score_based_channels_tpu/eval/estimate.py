@@ -70,6 +70,7 @@ def langevin_chunked(
     chunk_size: Optional[int] = None,
     mesh=None,
     capture_level: Optional[Array] = None,
+    start_level: Optional[Array] = None,
 ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     """Run the c2 posterior sampler over a large batch in jit-stable chunks.
 
@@ -87,13 +88,15 @@ def langevin_chunked(
     beta_noise = per(jnp.asarray(beta_noise, jnp.float32), (B,))
     if capture_level is not None:
         capture_level = per(jnp.asarray(capture_level, jnp.int32), (B,))
+    if start_level is not None:
+        start_level = per(jnp.asarray(start_level, jnp.int32), (B,))
 
     sampler = jax.jit(
-        lambda a, y, npow, x0, k, al, be, orc, cap:
+        lambda a, y, npow, x0, k, al, be, orc, cap, slv:
         annealed_langevin_posterior_c2(
             score_fn, a, y, sigmas, npow, x0, k,
             alpha_step=al, beta_noise=be, steps_each=steps_each, oracle=orc,
-            capture_level=cap))
+            capture_level=cap, start_level=slv))
 
     import sys
     import time as _time
@@ -110,6 +113,7 @@ def langevin_chunked(
         hp = [alpha_step[sl], beta_noise[sl]]
         orc = oracle2[sl] if oracle2 is not None else None
         cap = capture_level[sl] if capture_level is not None else None
+        slv = start_level[sl] if start_level is not None else None
         n_valid = parts[0].shape[0]
         if n_valid < chunk:  # pad the ragged tail to reuse the executable
             parts = [pad_to_multiple(p, chunk)[0] for p in parts]
@@ -118,6 +122,8 @@ def langevin_chunked(
                 orc = pad_to_multiple(orc, chunk)[0]
             if cap is not None:
                 cap = pad_to_multiple(cap, chunk)[0]
+            if slv is not None:
+                slv = pad_to_multiple(slv, chunk)[0]
         if mesh is not None:
             parts = [jax.device_put(p, data_sharding(mesh, p.ndim))
                      for p in parts]
@@ -126,9 +132,11 @@ def langevin_chunked(
                 orc = jax.device_put(orc, data_sharding(mesh, orc.ndim))
             if cap is not None:
                 cap = jax.device_put(cap, data_sharding(mesh, cap.ndim))
+            if slv is not None:
+                slv = jax.device_put(slv, data_sharding(mesh, slv.ndim))
         k_chunk = jax.random.fold_in(key, start)
         xf2, trace = sampler(parts[0], parts[1], parts[2], parts[3], k_chunk,
-                             hp[0], hp[1], orc, cap)
+                             hp[0], hp[1], orc, cap, slv)
         finals.append(cplx.to_complex(jax.device_get(xf2))[:n_valid])
         if trace is not None:
             traces.append(np.asarray(jax.device_get(trace))[:, :n_valid])
@@ -180,6 +188,7 @@ def run_snr_sweep(
     init: str = "noise",
     sigma_start: Optional[float] = None,
     init_cov: Optional[np.ndarray] = None,
+    auto_threshold: float = 2.0,
 ):
     """One (spacing, pilot_alpha) sweep → nmse (n_snr, n_steps, n_channels).
 
@@ -213,7 +222,7 @@ def run_snr_sweep(
         alpha_step = np.asarray(alpha_step) * alpha_scale
         if stop_steps is not None:
             stop_steps = np.asarray(stop_steps) // level_stride
-    if sigma_start is not None:
+    if sigma_start is not None and init != "auto":
         k0 = int(np.searchsorted(-np.asarray(sigmas), -float(sigma_start)))
         if k0 >= sigmas.shape[0]:
             raise ValueError(
@@ -248,6 +257,7 @@ def run_snr_sweep(
 
     Y_b = physics.measure_c2(k_meas, A_b, X_b, npow_b)
 
+    start_b = None
     if init == "ls":
         from ..baselines.ls import ls_estimate
 
@@ -259,6 +269,39 @@ def run_snr_sweep(
             raise ValueError("init='lmmse' requires init_cov")
         x0_np, _ = lmmse_estimate_c2(A_b, Y_b, np.asarray(npow_b), init_cov)
         x0_b = jnp.asarray(x0_np)
+    elif init == "auto":
+        # Residual-gated protocol selection (VERDICT r3 item 4): the
+        # normalized measurement residual of the (free) LMMSE init,
+        #   r = ‖Y − A·x̂_lmmse‖² / (noise_power · Np · Nr),
+        # is ≈ the unexplained-noise fraction (<1) when the train
+        # covariance matches the test channels and grows like
+        # mismatch-energy/noise under covariance mismatch — exactly the
+        # regime where the warm start loses to the full anneal (OOD,
+        # RESULTS.md). Per sample: matched → LMMSE warm start with the
+        # schedule gated to σ ≤ sigma_start; mismatched → noise init,
+        # full anneal. One compiled scan serves both (start_level gating).
+        from ..baselines.lmmse import lmmse_estimate_c2
+
+        if init_cov is None:
+            raise ValueError("init='auto' requires init_cov")
+        ss = 0.05 if sigma_start is None else float(sigma_start)
+        k0 = int(np.searchsorted(-np.asarray(sigmas), -ss))
+        x0_np, _ = lmmse_estimate_c2(A_b, Y_b, np.asarray(npow_b), init_cov)
+        x0_lm = jnp.asarray(x0_np)
+        resid = np.asarray(
+            cplx.sum_abs2(cplx.matmul(A_b, x0_lm) - Y_b, axis=(-1, -2)))
+        Np_, Nr_ = A_b.shape[1], Y_b.shape[2]
+        r_norm = resid / (np.asarray(npow_b) * Np_ * Nr_)
+        matched = r_norm < auto_threshold
+        x0_b = jnp.where(jnp.asarray(matched)[:, None, None, None],
+                         x0_lm, x0_b)
+        start_b = jnp.where(jnp.asarray(matched), k0, 0).astype(jnp.int32)
+        import sys
+
+        print(f"# auto protocol: {int(matched.sum())}/{matched.size} "
+              f"samples warm-started (residual median "
+              f"{float(np.median(r_norm)):.2f}, threshold "
+              f"{auto_threshold})", file=sys.stderr, flush=True)
     elif init != "noise":
         raise ValueError(init)
 
@@ -270,7 +313,8 @@ def run_snr_sweep(
     x_hat, trace = langevin_chunked(
         score_fn, A_b, Y_b, sigmas, npow_b, x0_b, k_run,
         al_b, be_b, steps_each=sampling.steps_each, oracle2=X_b,
-        chunk_size=chunk_size, mesh=mesh, capture_level=cap_b)
+        chunk_size=chunk_size, mesh=mesh, capture_level=cap_b,
+        start_level=start_b)
     # (L·steps, S·C) → (S, steps, C)
     n_steps = trace.shape[0]
     nmse = np.transpose(trace.reshape(n_steps, S, C), (1, 0, 2))
@@ -301,6 +345,7 @@ def run_estimation(
     level_stride: int = 1,
     init: str = "noise",
     sigma_start: Optional[float] = None,
+    auto_threshold: float = 2.0,
 ) -> EstimationResults:
     """Full test_score.py reproduction incl. cross-distribution (OOD) eval.
 
@@ -322,7 +367,7 @@ def run_estimation(
                               norm=config.data.norm_channels)
 
     init_cov = None
-    if init == "lmmse":
+    if init in ("lmmse", "auto"):
         from ..baselines.lmmse import empirical_covariance
 
         init_cov = empirical_covariance(train_ds)
@@ -336,7 +381,7 @@ def run_estimation(
 
         sig_full = np.asarray(
             subsample_schedule(jnp.asarray(sig_full), level_stride)[0])
-    if sigma_start is not None:
+    if sigma_start is not None and init != "auto":
         sig_full = sig_full[
             int(np.searchsorted(-sig_full, -float(sigma_start))):]
     n_levels = sig_full.shape[0]
@@ -361,6 +406,7 @@ def run_estimation(
                 beta_noise=beta_noise, chunk_size=chunk_size, mesh=mesh,
                 stop_steps=stop_steps, level_stride=level_stride,
                 init=init, sigma_start=sigma_start, init_cov=init_cov,
+                auto_threshold=auto_threshold,
                 return_estimates=save_channels_to is not None)
             if save_channels_to is not None:
                 nmse_log[i_sp, i_al], est = out
@@ -410,10 +456,16 @@ def main(argv=None):
                         "(alpha auto-scaled by k) — a speed/quality knob "
                         "the reference lacks")
     p.add_argument("--init", type=str, default="noise",
-                   choices=["noise", "ls", "lmmse"],
+                   choices=["noise", "ls", "lmmse", "auto"],
                    help="chain initialization (reference protocol: noise; "
                         "ls/lmmse warm starts per test_mmse.py:195-202 / "
-                        "baselines/lmmse.py)")
+                        "baselines/lmmse.py; auto = residual-gated per-"
+                        "sample choice between the lmmse warm start and "
+                        "the full noise anneal — no oracle knowledge of "
+                        "the test distribution)")
+    p.add_argument("--auto_threshold", type=float, default=2.0,
+                   help="normalized-residual threshold for --init auto "
+                        "(matched ≈ <1; covariance mismatch ≫ 1)")
     p.add_argument("--sigma_start", type=float, default=None,
                    help="truncate the sigma schedule at this level (warm "
                         "starts need it; default 0.05 when --init != noise)")
@@ -473,7 +525,8 @@ def main(argv=None):
         num_channels=args.num_channels, chunk_size=args.chunk,
         alpha_step=alpha_step, beta_noise=beta_noise,
         stop_steps=stop_steps, save_channels_to=args.save_channels,
-        level_stride=args.stride, init=args.init, sigma_start=sigma_start)
+        level_stride=args.stride, init=args.init, sigma_start=sigma_start,
+        auto_threshold=args.auto_threshold)
 
     out = args.output or (f"results/score/train-{args.train}_test-{args.test}"
                           "/results.npz")

@@ -230,3 +230,53 @@ def test_corrected_analytic_covariance_matches_empirical():
     err_fix = np.linalg.norm(emp - ana_fix) / np.linalg.norm(emp)
     assert err_rand < 0.25, err_rand     # finite-sample floor ~0.1-0.2 @600
     assert err_fix > 2 * err_rand, (err_fix, err_rand)
+
+
+def test_auto_protocol_residual_gating():
+    """--init auto: matched channels warm-start at the LMMSE estimate,
+    mismatched channels fall back to the full anneal (VERDICT r3 item 4).
+
+    With a zero score the warm branch's first recorded NMSE sits at the
+    LMMSE point; the fallback branch's sits at the noise-init level. The
+    test drives both regimes: CDL-C channels against the CDL-C train
+    covariance (matched → gated warm) and the same machinery with an
+    identity covariance whose LMMSE estimate explains nothing (mismatch
+    → full anneal)."""
+    import dataclasses as _dc
+
+    # a 256-channel train set so the empirical covariance actually spans
+    # the CDL-C signal subspace (erank ~36) — with a rank-starved
+    # covariance the matched residual itself exceeds the threshold, which
+    # is correct behavior but not the regime under test
+    cfg = tiny_config(num_classes=40, num_channels=256)
+    cfg = cfg.replace(model=_dc.replace(cfg.model, sigma_rate=0.8))
+    zero = lambda x, s: jnp.zeros_like(x)
+    kw = dict(snr_range=np.array([10.0]), num_channels=6, seed=3)
+
+    auto = run_estimation(zero, cfg, **kw, init="auto", sigma_start=0.5)
+    warm = run_estimation(zero, cfg, **kw, init="lmmse", sigma_start=0.5)
+    cold = run_estimation(zero, cfg, **kw)
+    # matched data → auto ≈ warm at the end (same init, same active tail);
+    # auto keeps the full-length trace (gated, not truncated)
+    assert auto.nmse_log.shape[3] == cold.nmse_log.shape[3]
+    assert abs(auto.best_nmse_db()[0, 0, 0]
+               - warm.best_nmse_db()[0, 0, 0]) < 0.75
+    # the frozen prefix of the matched chains is the LMMSE init
+    assert auto.avg_nmse[0, 0, 0, 0] < 0.5 * cold.avg_nmse[0, 0, 0, 0]
+
+    # mismatch: a garbage covariance makes the residual blow past the
+    # threshold → every sample takes the noise-init full-anneal branch
+    from score_based_channels_tpu.eval.estimate import run_snr_sweep
+    from score_based_channels_tpu.data.dataset import ChannelDataset
+
+    train_ds = ChannelDataset(1234, cfg.data, norm=cfg.data.norm_channels)
+    val_ds = ChannelDataset(4321, cfg.data, norm=list(train_ds.norm_stats),
+                            num_pilots=38)
+    bad_cov = np.eye(64 * 16, dtype=np.complex128) * 1e-6
+    nmse = run_snr_sweep(zero, cfg, val_ds, np.array([10.0]),
+                         jax.random.key(0), num_channels=6, init="auto",
+                         sigma_start=0.5, init_cov=bad_cov)
+    nmse_cold = run_snr_sweep(zero, cfg, val_ds, np.array([10.0]),
+                              jax.random.key(0), num_channels=6)
+    # fallback = the reference noise-init protocol, step for step
+    np.testing.assert_allclose(nmse, nmse_cold, rtol=1e-5)
