@@ -253,11 +253,14 @@ def main(argv=None):
     p.add_argument("--num_channels", type=int, default=50)
     p.add_argument("--chunk", type=int, default=None)
     p.add_argument("--output", type=str, default=None)
+    p.add_argument("--ray_coupling", type=str, default=None,
+                   choices=["random", "fixed"],
+                   help="dataset ensemble override (fixed = the paper-matching per-drop coupling)")
     args = p.parse_args(argv)
 
     from ..config import default_score_config
 
-    cfg = default_score_config(args.train)
+    cfg = default_score_config(args.train, ray_coupling=args.ray_coupling)
     res = run_lasso_baseline(
         cfg, channel=args.test, train_profile=args.train,
         snr_range=np.asarray(args.snr) if args.snr else None,

@@ -134,12 +134,18 @@ def main(argv=None):
     p.add_argument("--spacing", type=float, default=0.5)
     p.add_argument("--seed", type=int, default=2023)
     p.add_argument("--output", type=str, default=None)
+    p.add_argument("--ray_coupling", type=str, default=None,
+                   choices=["random", "fixed"],
+                   help="dataset ensemble override (fixed = the paper-matching per-drop coupling)")
     args = p.parse_args(argv)
 
     test = args.test or args.train
     snr_range = (np.asarray(args.snr, np.float64) if args.snr
                  else np.arange(-10, 32.5, 2.5))
     cfg = Config()
+    if args.ray_coupling:
+        cfg = cfg.replace(data=dataclasses.replace(
+            cfg.data, ray_coupling=args.ray_coupling))
     train_cfg = dataclasses.replace(cfg.data, channel=args.train)
     train_ds = ChannelDataset(1234, train_cfg, norm="global")
     num_pilots = int(np.floor(cfg.data.num_tx * args.pilot_alpha))

@@ -144,11 +144,14 @@ def main(argv=None):
     p.add_argument("--snr", nargs="+", type=float, default=None)
     p.add_argument("--num_channels", type=int, default=50)
     p.add_argument("--output", type=str, default=None)
+    p.add_argument("--ray_coupling", type=str, default=None,
+                   choices=["random", "fixed"],
+                   help="dataset ensemble override (fixed = the paper-matching per-drop coupling)")
     args = p.parse_args(argv)
 
     from ..config import default_score_config
 
-    cfg = default_score_config(args.model)
+    cfg = default_score_config(args.model, ray_coupling=args.ray_coupling)
     res = run_ls_baseline(
         cfg, channel=args.channel, model_channel=args.model,
         snr_range=np.asarray(args.snr) if args.snr else None,

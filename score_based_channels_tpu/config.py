@@ -167,7 +167,15 @@ class Config:
         return cls.from_dict(json.loads(s))
 
 
-def default_score_config(channel: str = "CDL-C") -> Config:
-    """The exact recipe of reference train_score.py for a given CDL profile."""
+def default_score_config(channel: str = "CDL-C",
+                         ray_coupling: str | None = None) -> Config:
+    """The exact recipe of reference train_score.py for a given CDL profile.
+
+    ray_coupling optionally overrides DataConfig.ray_coupling ("random" =
+    the generator's default ensemble, "fixed" = the per-drop coupling that
+    reproduces the paper's Fig. 5c absolutes — RESULTS.md round 3)."""
     cfg = Config()
-    return cfg.replace(data=dataclasses.replace(cfg.data, channel=channel))
+    data = dataclasses.replace(cfg.data, channel=channel)
+    if ray_coupling is not None:
+        data = dataclasses.replace(data, ray_coupling=ray_coupling)
+    return cfg.replace(data=data)

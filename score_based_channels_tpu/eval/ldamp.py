@@ -82,11 +82,14 @@ def main(argv=None):
                    default=list(np.arange(-10, 35, 5)))
     p.add_argument("--num_channels", type=int, default=100)
     p.add_argument("--output", type=str, default=None)
+    p.add_argument("--ray_coupling", type=str, default=None,
+                   choices=["random", "fixed"],
+                   help="dataset ensemble override (fixed = the paper-matching per-drop coupling)")
     args = p.parse_args(argv)
 
     from ..config import default_score_config
 
-    cfg = default_score_config(args.train)
+    cfg = default_score_config(args.train, ray_coupling=args.ray_coupling)
     res = run_ldamp_eval(cfg, channel=args.train, snr_range=args.snr_range,
                          alpha=args.alpha, num_channels=args.num_channels)
     for s, snr in enumerate(res.snr_range):

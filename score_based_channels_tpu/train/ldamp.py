@@ -171,6 +171,9 @@ def main(argv=None):
                    default=list(np.arange(-10, 35, 5)))
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--cache", type=str, default="/tmp/sbc_jax_cache")
+    p.add_argument("--ray_coupling", type=str, default=None,
+                   choices=["random", "fixed"],
+                   help="dataset ensemble override (fixed = the paper-matching per-drop coupling)")
     args = p.parse_args(argv)
 
     import jax as _jax
@@ -181,7 +184,7 @@ def main(argv=None):
 
     from ..config import default_score_config
 
-    cfg = default_score_config(args.train)
+    cfg = default_score_config(args.train, ray_coupling=args.ray_coupling)
     tc = LDAMPTrainConfig(alpha=args.alpha)
     train_ldamp_all_snrs(cfg, snr_range=args.snr_range, tc=tc,
                          n_epochs=args.epochs)

@@ -191,6 +191,9 @@ def main(argv=None):
                         "floor is manifold-capacity-limited, RESULTS.md)")
     p.add_argument("--output", type=str, default=None)
     p.add_argument("--cache", type=str, default="/tmp/sbc_jax_cache")
+    p.add_argument("--ray_coupling", type=str, default=None,
+                   choices=["random", "fixed"],
+                   help="dataset ensemble override (fixed = the paper-matching per-drop coupling)")
     args = p.parse_args(argv)
 
     import jax as _jax
@@ -201,7 +204,7 @@ def main(argv=None):
 
     from ..config import default_score_config
 
-    cfg = default_score_config(args.train)
+    cfg = default_score_config(args.train, ray_coupling=args.ray_coupling)
     cfg = cfg.replace(data=dataclasses.replace(
         cfg.data, spacing_list=(args.spacing,)))
     out = args.output or f"models/wgan/{args.train}_{args.spacing:.2f}.npz"
