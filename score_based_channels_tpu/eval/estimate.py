@@ -296,6 +296,13 @@ def run_snr_sweep(
         x0_b = jnp.where(jnp.asarray(matched)[:, None, None, None],
                          x0_lm, x0_b)
         start_b = jnp.where(jnp.asarray(matched), k0, 0).astype(jnp.int32)
+        # branch-appropriate hyper-parameters per sample: warm chains use
+        # the round-3 warm protocol (default α/β, run to the end);
+        # fallback chains keep the caller's (typically tuned per-SNR)
+        # α/β and early stops
+        m_j = jnp.asarray(matched)
+        al_b = jnp.where(m_j, jnp.float32(sampling.alpha_step), al_b)
+        be_b = jnp.where(m_j, jnp.float32(sampling.beta_noise), be_b)
         import sys
 
         print(f"# auto protocol: {int(matched.sum())}/{matched.size} "
@@ -309,6 +316,9 @@ def run_snr_sweep(
     if stop_steps is not None:  # per-SNR early stop, trailing-step units
         levels = np.asarray(stop_steps, np.int64) // sampling.steps_each
         cap_b = jnp.repeat(jnp.asarray(levels, jnp.int32), C)
+        if init == "auto":  # warm chains run to the final level
+            cap_b = jnp.where(jnp.asarray(matched),
+                              jnp.int32(sigmas.shape[0] - 1), cap_b)
 
     x_hat, trace = langevin_chunked(
         score_fn, A_b, Y_b, sigmas, npow_b, x0_b, k_run,

@@ -81,6 +81,8 @@ def main(argv=None):
     p.add_argument("--snr_range", nargs="+", type=float,
                    default=list(np.arange(-10, 35, 5)))
     p.add_argument("--num_channels", type=int, default=100)
+    p.add_argument("--model_dir", type=str,
+                   default="models/ldamp-FlippedUNet")
     p.add_argument("--output", type=str, default=None)
     p.add_argument("--ray_coupling", type=str, default=None,
                    choices=["random", "fixed"],
@@ -91,7 +93,8 @@ def main(argv=None):
 
     cfg = default_score_config(args.train, ray_coupling=args.ray_coupling)
     res = run_ldamp_eval(cfg, channel=args.train, snr_range=args.snr_range,
-                         alpha=args.alpha, num_channels=args.num_channels)
+                         alpha=args.alpha, model_dir=args.model_dir,
+                         num_channels=args.num_channels)
     for s, snr in enumerate(res.snr_range):
         print(f"SNR {snr:6.1f} dB  NMSE {res.avg_db()[s]:7.2f} dB")
     out = args.output or f"results/ldamp/{args.train}_alpha{args.alpha:.2f}.npz"

@@ -170,6 +170,8 @@ def main(argv=None):
     p.add_argument("--snr_range", nargs="+", type=float,
                    default=list(np.arange(-10, 35, 5)))
     p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--model_dir", type=str,
+                   default="models/ldamp-FlippedUNet")
     p.add_argument("--cache", type=str, default="/tmp/sbc_jax_cache")
     p.add_argument("--ray_coupling", type=str, default=None,
                    choices=["random", "fixed"],
@@ -187,7 +189,7 @@ def main(argv=None):
     cfg = default_score_config(args.train, ray_coupling=args.ray_coupling)
     tc = LDAMPTrainConfig(alpha=args.alpha)
     train_ldamp_all_snrs(cfg, snr_range=args.snr_range, tc=tc,
-                         n_epochs=args.epochs)
+                         out_dir=args.model_dir, n_epochs=args.epochs)
 
 
 if __name__ == "__main__":
