@@ -109,6 +109,88 @@ def plot_ood_comparison(
     plt.close()
 
 
+_FLAGSHIP_SOURCES = (
+    # label, path, loader(npz) -> (snr (S,), nmse_db (S,))
+    ("Score (warm start)", "results/score/fixedcoupling/results_warm.npz",
+     lambda d: (d["snr_range"], 10 * np.log10(d["best_nmse"][0, 0]))),
+    ("Score (reference protocol)",
+     "results/score/fixedcoupling/results.npz",
+     lambda d: (d["snr_range"], 10 * np.log10(d["best_nmse"][0, 0]))),
+    ("Approx. MMSE (×50, β=1 warm)",
+     "results/mmse/CDL-C-fixed-lmmse-beta1.npz",
+     lambda d: (d["snr_range"],
+                10 * np.log10(d["nmse_mean_est"].mean(-1)))),
+    ("LMMSE (empirical cov)", "results/baselines/lmmse_fixed.npz",
+     lambda d: (d["snr_range"], 10 * np.log10(d["nmse"].mean(-1)))),
+    ("L-DAMP", "results/baselines/ldamp_fixed.npz",
+     lambda d: (d["snr_range"], 10 * np.log10(d["nmse"].mean(-1)))),
+    ("Lasso (fsAD)", "results/baselines/lasso_fixed.npz",
+     lambda d: (d["snr_range"], 10 * np.log10(d["best_nmse"][0]))),
+    ("EM-GM-AMP", "results/baselines/amp_fixed.npz",
+     lambda d: (d["snr_range"], 10 * np.log10(np.where(
+         np.isfinite(d["nmse_trace"].mean(-1)),
+         d["nmse_trace"].mean(-1), np.inf).min(-1)))),
+    ("WGAN (aligned noise)", "results/baselines/wgan_fixed_aligned.npz",
+     lambda d: (d["snr_range"],
+                10 * np.log10(d["oracle_log"].mean(-1).min(-1)
+                              .min(axis=(0, 1))[0]))),
+    ("Regularized LS", "results/baselines/ls_fixed.npz",
+     lambda d: (d["snr_range"], 10 * np.log10(d["nmse"][0, 0].mean(-1)))),
+)
+
+
+def plot_flagship(output: str, bound_coupling: str = "fixed",
+                  bound_profile: str = "CDL-C"):
+    """The paper's actual deliverable (VERDICT r3 item 3): every method on
+    ONE dataset/ensemble in one Fig. 5c-style figure + a markdown table
+    (reference figures/fig5c_legend.png, README.md:81-85)."""
+    from matplotlib import pyplot as plt
+
+    plt.rcParams["font.size"] = 13
+    plt.figure(figsize=(10, 8))
+    rows, missing = [], []
+    for label, path, load in _FLAGSHIP_SOURCES:
+        if not os.path.exists(path):
+            missing.append((label, path))
+            continue
+        with np.load(path) as d:
+            snr, db = load(dict(d.items()))
+        style = dict(linewidth=3) if label.startswith("Score") else \
+            dict(linewidth=1.8, alpha=0.9)
+        plt.plot(snr, db, marker="o", markersize=3, label=label, **style)
+        rows.append((label, np.asarray(snr, float), np.asarray(db, float)))
+    from .chanstats import lmmse_bound_db
+
+    snr_b = np.arange(-10, 32.5, 2.5)
+    b = lmmse_bound_db(bound_profile, snr_b, num_pilot_draws=2,
+                       ray_coupling=bound_coupling)
+    plt.plot(snr_b, b, "k--", linewidth=2,
+             label=f"genie bound ({bound_coupling} coupling)")
+    rows.append((f"genie bound ({bound_coupling})", snr_b, b))
+    plt.grid()
+    plt.legend(fontsize=11)
+    plt.xlabel("SNR [dB]")
+    plt.ylabel("NMSE [dB]")
+    plt.title(f"All methods, one ensemble ({bound_coupling} ray coupling)")
+    plt.tight_layout()
+    _ensure_dir(output)
+    plt.savefig(output, dpi=300, bbox_inches="tight")
+    plt.close()
+
+    anchors = np.array([-10.0, 0.0, 10.0, 20.0, 30.0])
+    print("| method | " + " | ".join(f"{a:+.0f} dB" for a in anchors) + " |")
+    print("|---|" + "---|" * len(anchors))
+    for label, snr, db in rows:
+        cells = []
+        for a in anchors:
+            i = np.where(np.isclose(snr, a))[0]
+            cells.append(f"{db[i[0]]:.2f}" if i.size else "—")
+        print(f"| {label} | " + " | ".join(cells) + " |")
+    for label, path in missing:
+        print(f"# missing: {label} ({path})")
+    print(f"saved {output}")
+
+
 def main(argv=None):
     """CLI: regenerate the committed figures from saved results npz files.
 
@@ -134,6 +216,9 @@ def main(argv=None):
                         "the committed fixed-ensemble fig5c uses 'fixed')")
     p.add_argument("--ood", action="store_true",
                    help="overlay train-CDL-C_test-* oracle-stop curves")
+    p.add_argument("--flagship", action="store_true",
+                   help="one-ensemble all-methods Fig. 5c figure + table "
+                        "from the standard round-4 artifact paths")
     p.add_argument("--results_dir", type=str, default="results/score")
     p.add_argument("--suffix", type=str, default="results.npz",
                    help="per-profile results file name for --ood")
@@ -145,9 +230,14 @@ def main(argv=None):
     matplotlib.use("Agg")
     from matplotlib import pyplot as plt
 
-    if not args.ood and not args.compare:
-        p.error("pass --compare <results.npz...> and/or --ood "
+    if not args.ood and not args.compare and not args.flagship:
+        p.error("pass --compare <results.npz...>, --ood, or --flagship "
                 "(nothing to plot)")
+
+    if args.flagship:
+        plot_flagship(args.output, bound_coupling=args.bound_coupling,
+                      bound_profile=args.bound_profile)
+        return
 
     if args.ood:
         by_prof = {}
