@@ -138,15 +138,17 @@ def conv_im2col(x: Array, w: Array, b: Array | None, H: int, W: int,
     w_flat = jnp.concatenate(
         [w[iy, ix] for iy, ix, *_ in taps], axis=0)  # (T·Cin, Cout)
 
-    def kernel(x_ref, w_ref, b_ref, o_ref, patch):
+    def kernel(x_ref, w_ref, b_ref, o_ref):
         X = x_ref[:]
+        cols = []
         for t_i, (iy, ix, dy, dx, off) in enumerate(taps):
             Xs = _shift_rows(X, off)
             mask = _tap_mask(S, B, W, dy, dx, X.dtype)
-            Xs = jnp.where(mask, Xs, jnp.zeros_like(Xs))
-            patch[:, :, t_i * Cin:(t_i + 1) * Cin] = Xs
-        acc = jnp.dot(patch[:].reshape(S * B, T * Cin), w_ref[:],
-                      preferred_element_type=jnp.float32)
+            cols.append(jnp.where(mask, Xs, jnp.zeros_like(Xs)))
+        # lane-dim concat (a value, not misaligned scratch writes — Mosaic
+        # handles the relayout once) → one (M, T·Cin) × (T·Cin, Cout) dot
+        patch = jnp.concatenate(cols, axis=-1).reshape(S * B, T * Cin)
+        acc = jnp.dot(patch, w_ref[:], preferred_element_type=jnp.float32)
         if b_ref is not None:
             acc = acc + b_ref[0].astype(jnp.float32)
         if act:
@@ -155,8 +157,8 @@ def conv_im2col(x: Array, w: Array, b: Array | None, H: int, W: int,
 
     args = [x, w_flat] + ([b.reshape(1, Cout)] if b is not None else [])
     if b is None:
-        kernel_fn = lambda x_ref, w_ref, o_ref, patch: kernel(
-            x_ref, w_ref, None, o_ref, patch)
+        kernel_fn = lambda x_ref, w_ref, o_ref: kernel(
+            x_ref, w_ref, None, o_ref)
     else:
         kernel_fn = kernel
     return pl.pallas_call(
@@ -164,7 +166,6 @@ def conv_im2col(x: Array, w: Array, b: Array | None, H: int, W: int,
         out_shape=jax.ShapeDtypeStruct((S, B, Cout), x.dtype),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(args),
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((S, B, T * Cin), x.dtype)],
         interpret=interpret,
     )(*args)
 
@@ -280,15 +281,20 @@ def main():
         b = jnp.zeros((Cout,), jnp.float32)
         gflop = 2 * S * B * len(live_taps(3, d, H, W)) * Cin * Cout / 1e9
 
-        t_x = _time_fn(lambda x, w, b: conv_oracle(x, w, b, H, W, d),
-                       x, w, b, iters=args.iters)
-        t_p = _time_fn(lambda x, w, b: conv_pertap(x, w, b, H, W, d),
-                       x, w, b, iters=args.iters)
-        t_i = _time_fn(lambda x, w, b: conv_im2col(x, w, b, H, W, d),
-                       x, w, b, iters=args.iters)
+        def timed(fn):
+            try:
+                return _time_fn(fn, x, w, b, iters=args.iters)
+            except Exception as e:  # a lowering failure is data too
+                print(f"#   {name}: {type(e).__name__}: "
+                      f"{str(e).splitlines()[0][:120]}")
+                return float("nan")
+
+        t_x = timed(lambda x, w, b: conv_oracle(x, w, b, H, W, d))
+        t_p = timed(lambda x, w, b: conv_pertap(x, w, b, H, W, d))
+        t_i = timed(lambda x, w, b: conv_im2col(x, w, b, H, W, d))
         print(f"{name:16s} {t_x:8.2f} {t_p:9.2f} {t_i:9.2f} {gflop:11.3f}"
               f"   ({gflop*1e3/t_x:.0f} / {gflop*1e3/t_p:.0f} / "
-              f"{gflop*1e3/t_i:.0f} GF/s)")
+              f"{gflop*1e3/t_i:.0f} GF/s)", flush=True)
 
     # fused chain probe: n=8 convs, 128ch @8x2 — VMEM persistence
     for n in (4, 8):
@@ -304,13 +310,20 @@ def main():
                 x = conv_oracle(x, ws[i], bs[i], H, W, d, act=True)
             return x
 
-        t_x = _time_fn(xla_chain, x, ws, bs, iters=args.iters)
-        t_c = _time_fn(lambda x, ws, bs: conv_chain(x, ws, bs, H, W, d),
-                       x, ws, bs, iters=args.iters)
+        def timed(fn):
+            try:
+                return _time_fn(fn, x, ws, bs, iters=args.iters)
+            except Exception as e:
+                print(f"#   chain n={n}: {type(e).__name__}: "
+                      f"{str(e).splitlines()[0][:120]}")
+                return float("nan")
+
+        t_x = timed(xla_chain)
+        t_c = timed(lambda x, ws, bs: conv_chain(x, ws, bs, H, W, d))
         gflop = n * 2 * S * B * 9 * C * C / 1e9
         print(f"chain n={n} c128   {t_x:8.2f} {t_c:9.2f} {'':9s} "
               f"{gflop:11.3f}   ({gflop*1e3/t_x:.0f} / "
-              f"{gflop*1e3/t_c:.0f} GF/s)")
+              f"{gflop*1e3/t_c:.0f} GF/s)", flush=True)
 
 
 if __name__ == "__main__":
