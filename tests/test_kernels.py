@@ -110,3 +110,22 @@ def test_conv_chain_matches_unrolled_oracle():
     got = conv_chain(x, ws, bs, H, W, 1, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_fused_forward_matches_flax_model():
+    """kernels/fused_forward.py (params-level forward with the swappable
+    deep segment) must equal the flax NCSNv2Deepest bit-for-bit-ish on
+    the production architecture."""
+    from score_based_channels_tpu.config import ModelConfig
+    from score_based_channels_tpu.models import make_score_model
+    from score_based_channels_tpu.kernels.fused_forward import fused_forward
+
+    cfg = ModelConfig()  # production ngf=32, full wiring
+    model = make_score_model(cfg)
+    x = jax.random.normal(jax.random.key(0), (2, 64, 16, 2), jnp.float32)
+    sig = jnp.array([0.7, 2.3], jnp.float32)
+    params = model.init(jax.random.key(1), x, sig)["params"]
+    want = model.apply({"params": params}, x, sig)
+    got = fused_forward(params, x, sig)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
