@@ -60,6 +60,11 @@ def live_taps(k: int, dilation: int, H: int, W: int):
     return taps
 
 
+def _elu(x):
+    """ELU via exp (jax.nn.elu lowers to expm1, which Pallas-TPU lacks)."""
+    return jnp.where(x > 0, x, jnp.exp(jnp.minimum(x, 0.0)) - 1.0)
+
+
 def _tap_mask(S: int, B: int, W: int, dy: int, dx: int, dtype):
     """(S, B, 1)-broadcastable validity mask for tap (dy, dx)."""
     s = jax.lax.broadcasted_iota(jnp.int32, (S, 1, 1), 0)
@@ -93,7 +98,7 @@ def _conv_body(X, w_ref, b_ref, taps, S, B, W, Cin, Cout, act):
     if b_ref is not None:
         acc = acc + b_ref[0].astype(jnp.float32)
     if act:
-        acc = jax.nn.elu(acc)
+        acc = _elu(acc)
     return acc.reshape(S, B, Cout)
 
 
@@ -152,7 +157,7 @@ def conv_im2col(x: Array, w: Array, b: Array | None, H: int, W: int,
         if b_ref is not None:
             acc = acc + b_ref[0].astype(jnp.float32)
         if act:
-            acc = jax.nn.elu(acc)
+            acc = _elu(acc)
         o_ref[:] = acc.reshape(S, B, Cout).astype(o_ref.dtype)
 
     args = [x, w_flat] + ([b.reshape(1, Cout)] if b is not None else [])
@@ -206,15 +211,14 @@ def conv_chain(x: Array, ws: Array, bs: Array, H: int, W: int,
 # ---------------------------------------------------------------------------
 
 
-def conv_oracle(x_sbc: Array, w: Array, b: Array | None, H: int, W: int,
-                dilation: int = 1, act: bool = False) -> Array:
-    """lax.conv_general_dilated oracle on the (S, B, C) layout."""
-    S, B, Cin = x_sbc.shape
+def conv_nhwc(x: Array, w: Array, b: Array | None,
+              dilation: int = 1, act: bool = False) -> Array:
+    """The production XLA conv on native NHWC (models/layers.py Conv2d
+    semantics, WITHOUT dead-tap pruning — the probe measures raw shapes)."""
     k = w.shape[0]
-    xb = x_sbc.reshape(H, W, B, Cin).transpose(2, 0, 1, 3)  # (B,H,W,C)
     pad = dilation * (k // 2)
     y = jax.lax.conv_general_dilated(
-        xb, w.astype(xb.dtype), (1, 1), ((pad, pad), (pad, pad)),
+        x, w.astype(x.dtype), (1, 1), ((pad, pad), (pad, pad)),
         rhs_dilation=(dilation, dilation),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32)
@@ -222,7 +226,18 @@ def conv_oracle(x_sbc: Array, w: Array, b: Array | None, H: int, W: int,
         y = y + b.astype(jnp.float32)
     if act:
         y = jax.nn.elu(y)
-    return y.astype(x_sbc.dtype).transpose(1, 2, 0, 3).reshape(S, B, -1)
+    return y.astype(x.dtype)
+
+
+def conv_oracle(x_sbc: Array, w: Array, b: Array | None, H: int, W: int,
+                dilation: int = 1, act: bool = False) -> Array:
+    """lax.conv oracle on the (S, B, C) layout (numerics reference for
+    the Pallas kernels; NOT the timing baseline — layout conversion is
+    included here but excluded from timing via conv_nhwc)."""
+    S, B, Cin = x_sbc.shape
+    xb = x_sbc.reshape(H, W, B, Cin).transpose(2, 0, 1, 3)  # (B,H,W,C)
+    y = conv_nhwc(xb, w, b, dilation, act)
+    return y.transpose(1, 2, 0, 3).reshape(S, B, -1)
 
 
 def _time_fn(fn, *args, iters: int = 200) -> float:
@@ -276,22 +291,24 @@ def main():
         S = H * W
         k1, k2, k3 = jax.random.split(jax.random.fold_in(key, S * Cin), 3)
         x = jax.random.normal(k1, (S, B, Cin), dt)
+        x_nhwc = jax.random.normal(k1, (B, H, W, Cin), dt)
         w = (jax.random.normal(k2, (3, 3, Cin, Cout), jnp.float32)
              / np.sqrt(9 * Cin)).astype(dt)
         b = jnp.zeros((Cout,), jnp.float32)
         gflop = 2 * S * B * len(live_taps(3, d, H, W)) * Cin * Cout / 1e9
 
-        def timed(fn):
+        def timed(fn, x0):
             try:
-                return _time_fn(fn, x, w, b, iters=args.iters)
+                return _time_fn(fn, x0, w, b, iters=args.iters)
             except Exception as e:  # a lowering failure is data too
                 print(f"#   {name}: {type(e).__name__}: "
                       f"{str(e).splitlines()[0][:120]}")
                 return float("nan")
 
-        t_x = timed(lambda x, w, b: conv_oracle(x, w, b, H, W, d))
-        t_p = timed(lambda x, w, b: conv_pertap(x, w, b, H, W, d))
-        t_i = timed(lambda x, w, b: conv_im2col(x, w, b, H, W, d))
+        # XLA baseline on its NATIVE layout (no per-iter transposes)
+        t_x = timed(lambda x, w, b: conv_nhwc(x, w, b, d), x_nhwc)
+        t_p = timed(lambda x, w, b: conv_pertap(x, w, b, H, W, d), x)
+        t_i = timed(lambda x, w, b: conv_im2col(x, w, b, H, W, d), x)
         print(f"{name:16s} {t_x:8.2f} {t_p:9.2f} {t_i:9.2f} {gflop:11.3f}"
               f"   ({gflop*1e3/t_x:.0f} / {gflop*1e3/t_p:.0f} / "
               f"{gflop*1e3/t_i:.0f} GF/s)", flush=True)
@@ -301,25 +318,26 @@ def main():
         H, W, C, d = 8, 2, 128, 1
         S = H * W
         x = jax.random.normal(key, (S, B, C), dt)
+        x_nhwc = jax.random.normal(key, (B, H, W, C), dt)
         ws = (jax.random.normal(key, (n, 3, 3, C, C), jnp.float32)
               / np.sqrt(9 * C)).astype(dt)
         bs = jnp.zeros((n, C), jnp.float32)
 
         def xla_chain(x, ws, bs):
             for i in range(n):
-                x = conv_oracle(x, ws[i], bs[i], H, W, d, act=True)
+                x = conv_nhwc(x, ws[i], bs[i], d, act=True)
             return x
 
-        def timed(fn):
+        def timed(fn, x0):
             try:
-                return _time_fn(fn, x, ws, bs, iters=args.iters)
+                return _time_fn(fn, x0, ws, bs, iters=args.iters)
             except Exception as e:
                 print(f"#   chain n={n}: {type(e).__name__}: "
                       f"{str(e).splitlines()[0][:120]}")
                 return float("nan")
 
-        t_x = timed(xla_chain)
-        t_c = timed(lambda x, ws, bs: conv_chain(x, ws, bs, H, W, d))
+        t_x = timed(xla_chain, x_nhwc)
+        t_c = timed(lambda x, ws, bs: conv_chain(x, ws, bs, H, W, d), x)
         gflop = n * 2 * S * B * 9 * C * C / 1e9
         print(f"chain n={n} c128   {t_x:8.2f} {t_c:9.2f} {'':9s} "
               f"{gflop:11.3f}   ({gflop*1e3/t_x:.0f} / "
