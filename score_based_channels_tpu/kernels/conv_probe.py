@@ -241,7 +241,13 @@ def conv_oracle(x_sbc: Array, w: Array, b: Array | None, H: int, W: int,
 
 
 def _time_fn(fn, *args, iters: int = 200) -> float:
-    """Median-of-3 time per application, via a scanned loop (µs)."""
+    """Median-of-3 time per application, via a scanned loop (µs).
+
+    The run is synced by FETCHING a scalar reduction of the result —
+    on the axon tunnel platform `block_until_ready` returns before the
+    device work completes (measured: it timed a 4.8 GFLOP conv at an
+    impossible 8 PFLOP/s), while a host transfer forces the real sync
+    (the same pattern bench.py relies on)."""
     import time
 
     @jax.jit
@@ -250,14 +256,14 @@ def _time_fn(fn, *args, iters: int = 200) -> float:
             return fn(x, *rest), None
 
         y, _ = jax.lax.scan(body, x0, None, length=iters)
-        return y
+        return jnp.sum(y.astype(jnp.float32))
 
     x0, rest = args[0], args[1:]
-    run(x0, rest).block_until_ready()  # compile
+    float(jax.device_get(run(x0, rest)))  # compile + warm
     ts = []
     for _ in range(3):
         t0 = time.perf_counter()
-        run(x0, rest).block_until_ready()
+        float(jax.device_get(run(x0, rest)))
         ts.append((time.perf_counter() - t0) / iters * 1e6)
     return float(np.median(ts))
 
