@@ -188,7 +188,7 @@ def run_snr_sweep(
     init: str = "noise",
     sigma_start: Optional[float] = None,
     init_cov: Optional[np.ndarray] = None,
-    auto_threshold: float = 2.0,
+    auto_threshold: float = 1.2,
 ):
     """One (spacing, pilot_alpha) sweep → nmse (n_snr, n_steps, n_channels).
 
@@ -355,7 +355,7 @@ def run_estimation(
     level_stride: int = 1,
     init: str = "noise",
     sigma_start: Optional[float] = None,
-    auto_threshold: float = 2.0,
+    auto_threshold: float = 1.2,
 ) -> EstimationResults:
     """Full test_score.py reproduction incl. cross-distribution (OOD) eval.
 
@@ -473,9 +473,12 @@ def main(argv=None):
                         "sample choice between the lmmse warm start and "
                         "the full noise anneal — no oracle knowledge of "
                         "the test distribution)")
-    p.add_argument("--auto_threshold", type=float, default=2.0,
-                   help="normalized-residual threshold for --init auto "
-                        "(matched ≈ <1; covariance mismatch ≫ 1)")
+    p.add_argument("--auto_threshold", type=float, default=1.2,
+                   help="normalized-residual threshold for --init auto. "
+                        "Calibrated round 4: matched residuals stay "
+                        "≤1.06 at every SNR (p90, CDL-C) while "
+                        "mismatch exceeds 1.3 exactly where the full "
+                        "anneal beats the warm start (RESULTS.md)")
     p.add_argument("--sigma_start", type=float, default=None,
                    help="truncate the sigma schedule at this level (warm "
                         "starts need it; default 0.05 when --init != noise)")
