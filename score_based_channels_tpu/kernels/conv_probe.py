@@ -240,32 +240,41 @@ def conv_oracle(x_sbc: Array, w: Array, b: Array | None, H: int, W: int,
     return y.transpose(1, 2, 0, 3).reshape(S, B, -1)
 
 
-def _time_fn(fn, *args, iters: int = 200) -> float:
-    """Median-of-3 time per application, via a scanned loop (µs).
+def _time_fn(fn, *args, iters: int = 2000) -> float:
+    """Per-application time via the SLOPE between two scan lengths (µs).
 
-    The run is synced by FETCHING a scalar reduction of the result —
-    on the axon tunnel platform `block_until_ready` returns before the
-    device work completes (measured: it timed a 4.8 GFLOP conv at an
-    impossible 8 PFLOP/s), while a host transfer forces the real sync
-    (the same pattern bench.py relies on)."""
+    Two tunnel quirks make naive timing lie: `block_until_ready` returns
+    before device work completes (sync by fetching a scalar reduction
+    instead), and every run call pays a ~35 ms host↔device round trip
+    that buries µs-scale kernels (measured: every 200-iteration case
+    cost ~32-37 ms regardless of FLOPs). Timing scans of `iters` and
+    4·`iters` applications and differencing cancels the fixed cost."""
     import time
 
-    @jax.jit
-    def run(x0, rest):
-        def body(x, _):
-            return fn(x, *rest), None
+    def make(n):
+        @jax.jit
+        def run(x0, rest):
+            def body(x, _):
+                return fn(x, *rest), None
 
-        y, _ = jax.lax.scan(body, x0, None, length=iters)
-        return jnp.sum(y.astype(jnp.float32))
+            y, _ = jax.lax.scan(body, x0, None, length=n)
+            return jnp.sum(y.astype(jnp.float32))
+
+        return run
 
     x0, rest = args[0], args[1:]
-    float(jax.device_get(run(x0, rest)))  # compile + warm
-    ts = []
+    run1, run4 = make(iters), make(4 * iters)
+    float(jax.device_get(run1(x0, rest)))  # compile + warm
+    float(jax.device_get(run4(x0, rest)))
+    slopes = []
     for _ in range(3):
         t0 = time.perf_counter()
-        float(jax.device_get(run(x0, rest)))
-        ts.append((time.perf_counter() - t0) / iters * 1e6)
-    return float(np.median(ts))
+        float(jax.device_get(run1(x0, rest)))
+        t1 = time.perf_counter()
+        float(jax.device_get(run4(x0, rest)))
+        t2 = time.perf_counter()
+        slopes.append(((t2 - t1) - (t1 - t0)) / (3 * iters) * 1e6)
+    return float(np.median(slopes))
 
 
 def main():
@@ -274,7 +283,7 @@ def main():
     p = argparse.ArgumentParser(description="Pallas conv shape probe")
     p.add_argument("--batch", type=int, default=256)
     p.add_argument("--dtype", type=str, default="bfloat16")
-    p.add_argument("--iters", type=int, default=200)
+    p.add_argument("--iters", type=int, default=2000)
     args = p.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/sbc_jax_cache")
@@ -317,7 +326,7 @@ def main():
         t_i = timed(lambda x, w, b: conv_im2col(x, w, b, H, W, d), x)
         print(f"{name:16s} {t_x:8.2f} {t_p:9.2f} {t_i:9.2f} {gflop:11.3f}"
               f"   ({gflop*1e3/t_x:.0f} / {gflop*1e3/t_p:.0f} / "
-              f"{gflop*1e3/t_i:.0f} GF/s)", flush=True)
+              f"{gflop*1e3/t_i:.0f} TF/s)", flush=True)
 
     # fused chain probe: n=8 convs, 128ch @8x2 — VMEM persistence
     for n in (4, 8):
@@ -347,7 +356,7 @@ def main():
         gflop = n * 2 * S * B * 9 * C * C / 1e9
         print(f"chain n={n} c128   {t_x:8.2f} {t_c:9.2f} {'':9s} "
               f"{gflop:11.3f}   ({gflop*1e3/t_x:.0f} / "
-              f"{gflop*1e3/t_c:.0f} GF/s)", flush=True)
+              f"{gflop*1e3/t_c:.0f} TF/s)", flush=True)
 
 
 if __name__ == "__main__":
