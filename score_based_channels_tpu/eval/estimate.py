@@ -188,7 +188,8 @@ def run_snr_sweep(
     init: str = "noise",
     sigma_start: Optional[float] = None,
     init_cov: Optional[np.ndarray] = None,
-    auto_threshold: float = 1.2,
+    auto_threshold: float = 1.15,
+    auto_calib: Optional[np.ndarray] = None,
 ):
     """One (spacing, pilot_alpha) sweep → nmse (n_snr, n_steps, n_channels).
 
@@ -277,7 +278,14 @@ def run_snr_sweep(
         # covariance matches the test channels and grows like
         # mismatch-energy/noise under covariance mismatch — exactly the
         # regime where the warm start loses to the full anneal (OOD,
-        # RESULTS.md). Per sample: matched → LMMSE warm start with the
+        # RESULTS.md). The matched residual level itself FALLS with SNR
+        # (measured 0.96 → 0.69 over −10…30 dB: the LMMSE explains more
+        # of the noise as it sharpens), so the gate compares against a
+        # per-SNR expectation CALIBRATED ON THE TRAIN SET (auto_calib —
+        # no test knowledge): matched ⇔ r/r̂_cal(SNR) < auto_threshold
+        # AND r < 2 (absolute sanity cap: an init leaving >2× the noise
+        # unexplained is never a good warm start, e.g. a degenerate
+        # covariance). Per sample: matched → LMMSE warm start with the
         # schedule gated to σ ≤ sigma_start; mismatched → noise init,
         # full anneal. One compiled scan serves both (start_level gating).
         from ..baselines.lmmse import lmmse_estimate_c2
@@ -292,7 +300,23 @@ def run_snr_sweep(
             cplx.sum_abs2(cplx.matmul(A_b, x0_lm) - Y_b, axis=(-1, -2)))
         Np_, Nr_ = A_b.shape[1], Y_b.shape[2]
         r_norm = resid / (np.asarray(npow_b) * Np_ * Nr_)
-        matched = r_norm < auto_threshold
+        if auto_calib is not None:
+            Cc = auto_calib.shape[0]
+            kcp, kcm = jax.random.split(jax.random.fold_in(key, 777))
+            Pc = cplx.qpsk_pilots(kcp, Cc, A_b.shape[2],
+                                  val_dataset.num_pilots)
+            Ac = jnp.tile(cplx.conj_transpose(Pc), (S, 1, 1, 1))
+            Xc = jnp.tile(jnp.asarray(auto_calib), (S, 1, 1, 1))
+            npc = np.repeat(noise_powers.astype(np.float32), Cc)
+            Yc = physics.measure_c2(kcm, Ac, Xc, jnp.asarray(npc))
+            xc, _ = lmmse_estimate_c2(Ac, Yc, npc, init_cov)
+            rc = np.asarray(cplx.sum_abs2(
+                cplx.matmul(Ac, jnp.asarray(xc)) - Yc, axis=(-1, -2)))
+            pred = (rc / (npc * Np_ * Nr_)).reshape(S, Cc).mean(-1)  # (S,)
+            ratio = r_norm / np.repeat(pred, C)
+            matched = (ratio < auto_threshold) & (r_norm < 2.0)
+        else:  # uncalibrated fallback: absolute threshold
+            matched = r_norm < max(auto_threshold, 1.2)
         x0_b = jnp.where(jnp.asarray(matched)[:, None, None, None],
                          x0_lm, x0_b)
         start_b = jnp.where(jnp.asarray(matched), k0, 0).astype(jnp.int32)
@@ -355,7 +379,7 @@ def run_estimation(
     level_stride: int = 1,
     init: str = "noise",
     sigma_start: Optional[float] = None,
-    auto_threshold: float = 1.2,
+    auto_threshold: float = 1.15,
 ) -> EstimationResults:
     """Full test_score.py reproduction incl. cross-distribution (OOD) eval.
 
@@ -377,10 +401,15 @@ def run_estimation(
                               norm=config.data.norm_channels)
 
     init_cov = None
+    auto_calib = None
     if init in ("lmmse", "auto"):
         from ..baselines.lmmse import empirical_covariance
 
         init_cov = empirical_covariance(train_ds)
+        if init == "auto":
+            # train-set channels for the per-SNR residual calibration
+            auto_calib = np.asarray(
+                train_ds.hermitian_c2(normalized=True)[:64])
 
     n_sp, n_al, S = len(spacing_range), len(pilot_alpha_range), len(snr_range)
     from ..diffusion.sigmas import sigmas_from_config as _sfc
@@ -416,7 +445,7 @@ def run_estimation(
                 beta_noise=beta_noise, chunk_size=chunk_size, mesh=mesh,
                 stop_steps=stop_steps, level_stride=level_stride,
                 init=init, sigma_start=sigma_start, init_cov=init_cov,
-                auto_threshold=auto_threshold,
+                auto_threshold=auto_threshold, auto_calib=auto_calib,
                 return_estimates=save_channels_to is not None)
             if save_channels_to is not None:
                 nmse_log[i_sp, i_al], est = out
@@ -473,12 +502,13 @@ def main(argv=None):
                         "sample choice between the lmmse warm start and "
                         "the full noise anneal — no oracle knowledge of "
                         "the test distribution)")
-    p.add_argument("--auto_threshold", type=float, default=1.2,
-                   help="normalized-residual threshold for --init auto. "
-                        "Calibrated round 4: matched residuals stay "
-                        "≤1.06 at every SNR (p90, CDL-C) while "
-                        "mismatch exceeds 1.3 exactly where the full "
-                        "anneal beats the warm start (RESULTS.md)")
+    p.add_argument("--auto_threshold", type=float, default=1.15,
+                   help="residual-RATIO threshold for --init auto: a "
+                        "sample warm-starts when its LMMSE residual is "
+                        "< threshold x the train-set-calibrated matched "
+                        "residual at that SNR (matched ratios "
+                        "concentrate at 1.0 +- ~5%%; mismatch crosses "
+                        "1.2+ exactly where the full anneal wins)")
     p.add_argument("--sigma_start", type=float, default=None,
                    help="truncate the sigma schedule at this level (warm "
                         "starts need it; default 0.05 when --init != noise)")
