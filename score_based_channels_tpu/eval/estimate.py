@@ -490,6 +490,11 @@ def main(argv=None):
     p.add_argument("--hparams", type=str, default=None,
                    help="tuner output npz: use per-SNR best (alpha, beta) "
                         "and report known-SNR stopping-step NMSE")
+    p.add_argument("--blind", action="store_true",
+                   help="blind-SNR protocol (plot_ood_results.py:12-14): "
+                        "with --hparams, use the tuner's single blind "
+                        "(alpha, beta) for every SNR point and report the "
+                        "NMSE at the one blind stopping step")
     p.add_argument("--stride", type=int, default=1,
                    help="shortcut inference: keep every k-th sigma level "
                         "(alpha auto-scaled by k) — a speed/quality knob "
@@ -548,12 +553,20 @@ def main(argv=None):
 
     alpha_step = beta_noise = None
     stop_steps = None
+    blind_step = None
     snr_range = np.asarray(args.snr) if args.snr else None
+    if args.blind and not args.hparams:
+        p.error("--blind requires --hparams (the tuner's blind selection)")
     if args.hparams:
         with np.load(args.hparams) as h:
-            alpha_step = h["best_alpha_snr"]
-            beta_noise = h["best_beta_snr"]
-            stop_steps = h["best_step_snr"]
+            if args.blind:
+                alpha_step = float(h["blind_alpha"])
+                beta_noise = float(h["blind_beta"])
+                blind_step = int(h["blind_step"])
+            else:
+                alpha_step = h["best_alpha_snr"]
+                beta_noise = h["best_beta_snr"]
+                stop_steps = h["best_step_snr"]
             if snr_range is None:
                 snr_range = h["snr_range"]
 
@@ -583,6 +596,10 @@ def main(argv=None):
             if stop_steps is not None:
                 known = res.avg_nmse[0, i_al, s, int(stop_steps[s])]
                 line += f"   known-SNR stop {10 * np.log10(known):7.2f} dB"
+            if blind_step is not None:
+                blind = res.avg_nmse[0, i_al, s, blind_step]
+                line += (f"   blind stop N={blind_step} "
+                         f"{10 * np.log10(blind):7.2f} dB")
             print(line)
     print(f"saved {out}")
 

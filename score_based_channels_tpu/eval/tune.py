@@ -52,6 +52,47 @@ class TuneResults:
         with np.load(path) as f:
             return cls(**{k: f[k] for k in f.files})
 
+    def blind_selection(self) -> tuple:
+        """Single (α, β, stop step) for ALL SNRs — the blind-SNR protocol.
+
+        The reference deploys one fixed stopping step per pilot density
+        when the SNR is unknown at inference (plot_ood_results.py:12-14,
+        'Best N in the paper', one β for the whole curve). Selection rule
+        here: the (combo, step) minimizing the MEAN OVER SNR POINTS of
+        dB-NMSE (scale-invariant across the 40 dB sweep; a linear mean
+        would only weigh the lowest-SNR points). Diverged combos are
+        NaN→+inf guarded.
+        """
+        avg = np.where(np.isfinite(self.avg_nmse), self.avg_nmse, np.inf)
+        with np.errstate(divide="ignore"):
+            db = 10.0 * np.log10(avg)  # (nA, nB, S, steps)
+        score = db.mean(axis=2)  # mean over SNR, in dB
+        iA, iB, n = np.unravel_index(int(np.argmin(score)), score.shape)
+        return (float(self.alpha_step_range[iA]),
+                float(self.beta_noise_range[iB]), int(n))
+
+    def save_slim(self, path: str) -> None:
+        """Selection tables only (committable; the full per-step log is
+        ~350 MB — keep it out of git, ADVICE r3)."""
+        import os
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        b_alpha, b_beta, b_step = self.blind_selection()
+        iA = int(np.argmin(np.abs(self.alpha_step_range - b_alpha)))
+        iB = int(np.argmin(np.abs(self.beta_noise_range - b_beta)))
+        np.savez(
+            path,
+            best_alpha_snr=self.best_alpha_snr,
+            best_beta_snr=self.best_beta_snr,
+            best_step_snr=self.best_step_snr,
+            snr_range=self.snr_range,
+            alpha_step_range=self.alpha_step_range,
+            beta_noise_range=self.beta_noise_range,
+            best_nmse=self.best_nmse,
+            blind_alpha=b_alpha, blind_beta=b_beta, blind_step=b_step,
+            blind_nmse=self.avg_nmse[iA, iB, :, b_step],
+        )
+
 
 def run_hparam_search(
     score_fn,
@@ -169,6 +210,9 @@ def main(argv=None):
     p.add_argument("--num_channels", type=int, default=50)
     p.add_argument("--chunk", type=int, default=256)
     p.add_argument("--output", type=str, default=None)
+    p.add_argument("--full_log", action="store_true",
+                   help="save the full per-step nmse_log (~350 MB) instead "
+                        "of the slim selection tables")
     p.add_argument("--cache", type=str, default="/tmp/sbc_jax_cache")
     args = p.parse_args(argv)
 
@@ -198,12 +242,18 @@ def main(argv=None):
         num_channels=args.num_channels, chunk_size=args.chunk)
 
     out = args.output or f"results/score/{args.channel}-hyperparameters.npz"
-    res.save(out)
+    if args.full_log:
+        res.save(out)
+    else:
+        res.save_slim(out)
     for s, snr in enumerate(res.snr_range):
         db = 10 * np.log10(res.best_nmse[..., s].min())
         print(f"SNR {snr:6.1f} dB  best NMSE {db:7.2f} dB  "
               f"alpha {res.best_alpha_snr[s]:.1e}  beta {res.best_beta_snr[s]:.0e}  "
               f"stop {int(res.best_step_snr[s])}")
+    b_alpha, b_beta, b_step = res.blind_selection()
+    print(f"blind-SNR selection: alpha {b_alpha:.1e}  beta {b_beta:.0e}  "
+          f"stop {b_step}")
     print(f"saved {out}")
 
 

@@ -117,6 +117,36 @@ def test_tuner_grid_selection():
         assert res.best_step_snr[s] == res.avg_nmse[iA, iB, s].argmin()
 
 
+def test_tuner_blind_selection_and_slim_save(tmp_path):
+    """Blind-SNR protocol (plot_ood_results.py:12-14): ONE (alpha, beta,
+    step) for the whole sweep, chosen by mean-over-SNR dB-NMSE; slim save
+    round-trips the selection tables without the ~350 MB nmse_log."""
+    cfg = tiny_config(num_classes=5)
+    zero = lambda x, s: jnp.zeros_like(x)
+    res = run_hparam_search(
+        zero, cfg, snr_range=np.array([0.0, 30.0]),
+        alpha_step_range=(3e-11, 3e-6), beta_noise_range=(0.01, 0.0),
+        num_channels=4)
+    b_alpha, b_beta, b_step = res.blind_selection()
+    # the selection minimizes the mean-over-SNR dB NMSE over (combo, step)
+    db = 10 * np.log10(np.where(np.isfinite(res.avg_nmse),
+                                res.avg_nmse, np.inf))
+    score = db.mean(axis=2)
+    iA = list(res.alpha_step_range).index(b_alpha)
+    iB = list(res.beta_noise_range).index(b_beta)
+    assert score[iA, iB, b_step] == score.min()
+    # slim save: selection tables present, per-step log absent, blind row
+    # equals the avg_nmse slice at the blind selection
+    path = str(tmp_path / "slim.npz")
+    res.save_slim(path)
+    with np.load(path) as f:
+        assert "nmse_log" not in f.files and "avg_nmse" not in f.files
+        assert float(f["blind_alpha"]) == b_alpha
+        assert int(f["blind_step"]) == b_step
+        np.testing.assert_allclose(
+            f["blind_nmse"], res.avg_nmse[iA, iB, :, b_step])
+
+
 def test_mesh_sharded_eval_matches():
     from score_based_channels_tpu.parallel import make_mesh
 
