@@ -182,10 +182,14 @@ def run_mmse_estimation(
     B_pad = ((B + chunk - 1) // chunk) * chunk
     if B_pad != B:
         ext = B_pad - B
+        # ext may exceed B (chunk > batch): tile enough copies that the
+        # pad really reaches B_pad rows — the one-compiled-shape
+        # invariant must hold for any (B, chunk) (ADVICE r4)
+        reps_pad = -(-ext // B)  # ceil
 
         def _pad(t):
-            return (None if t is None
-                    else jnp.concatenate([t, t[:ext]], axis=0))
+            return (None if t is None else jnp.concatenate(
+                [t] + [t] * reps_pad, axis=0)[:B_pad])
 
         A_b, Y_b, x0_b = _pad(A_b), _pad(Y_b), _pad(x0_b)
         npow_b = _pad(npow_b)
@@ -308,8 +312,13 @@ def main(argv=None):
         print(f"SNR {snr:6.1f} dB  MMSE-avg NMSE {res.avg_db()[s]:7.2f} dB  "
               f"(single sample "
               f"{10 * np.log10(res.nmse_single.mean(-1)[s]):7.2f} dB)")
+    # resolve the EFFECTIVE beta for the default filename (an unset
+    # --beta_noise falls back to the config default inside the run;
+    # 'betaNone' in the name misstated the protocol — ADVICE r4)
+    beta_eff = (args.beta_noise if args.beta_noise is not None
+                else config.sampling.beta_noise)
     out = args.output or (f"results/mmse/{args.train}-{args.init}"
-                          f"-beta{args.beta_noise}.npz")
+                          f"-beta{beta_eff}.npz")
     res.save(out)
     print(f"saved {out}")
 

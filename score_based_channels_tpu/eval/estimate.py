@@ -216,6 +216,7 @@ def run_snr_sweep(
     sampling = cfg.sampling
     alpha_step = (sampling.alpha_step if alpha_step is None else alpha_step)
     beta_noise = (sampling.beta_noise if beta_noise is None else beta_noise)
+    alpha_scale = 1.0
     if level_stride > 1:  # shortcut inference (speed/quality knob)
         from ..diffusion.sigmas import subsample_schedule
 
@@ -323,9 +324,11 @@ def run_snr_sweep(
         # branch-appropriate hyper-parameters per sample: warm chains use
         # the round-3 warm protocol (default α/β, run to the end);
         # fallback chains keep the caller's (typically tuned per-SNR)
-        # α/β and early stops
+        # α/β and early stops. alpha_scale keeps the warm default
+        # consistent with a strided (subsampled) schedule (ADVICE r4).
         m_j = jnp.asarray(matched)
-        al_b = jnp.where(m_j, jnp.float32(sampling.alpha_step), al_b)
+        al_b = jnp.where(m_j, jnp.float32(sampling.alpha_step * alpha_scale),
+                         al_b)
         be_b = jnp.where(m_j, jnp.float32(sampling.beta_noise), be_b)
         import sys
 

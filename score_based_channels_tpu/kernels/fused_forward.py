@@ -3,16 +3,20 @@
 The flax module (models/ncsnv2.py) stays the source of truth; this module
 re-expresses the SAME forward directly on the parameter pytree so the
 8×2-resolution deep segment (res31_1 → res4 → res5 → refine1 → refine2 →
-refine31 → refine3's pre-resize path) can be swapped between
+refine31 → refine3's pre-resize path) is a swappable closure
+(`segment=` argument, default `deep_segment_jnp`, plain jax ops).
 
-  - `deep_segment_jnp`  — plain jax ops (parity oracle, CPU path), and
-  - `deep_segment_pallas` (kernels/deep_segment.py) — ONE pallas_call
-    with every conv weight, norm parameter and activation VMEM-resident
-    across the whole segment (the VERDICT r3 item-1 design point (a)).
+A VMEM-resident Pallas implementation of the segment was prototyped and
+MEASURED in round 4 (kernels/conv_probe.py `fused chain` case: 99.5% of
+bf16 peak vs XLA's 93–94% on the same shapes, ≈ +1% end-to-end because
+the segment is only ~11% of conv time) and deliberately NOT productized —
+the measurement and the decision are recorded in BENCH.md ("the Pallas
+question, settled"). The swappable-segment scaffold stays because it is
+how that A/B was run and how a future kernel would plug in.
 
-tests/test_kernels.py asserts fused_forward(segment=jnp) equals
-model.apply on the full production architecture, and the pallas segment
-equals the jnp segment in interpreter mode.
+tests/test_kernels.py asserts fused_forward(segment=deep_segment_jnp)
+equals model.apply on the full production architecture
+(test_kernels.py:115-129).
 
 Reference semantics being reproduced: ncsnv2.py:198-300 (block wiring),
 layers.py:401-456 (ResidualBlock), :214-249 (RefineBlock), :62-134
@@ -196,8 +200,8 @@ def fused_forward(
     """NCSNv2Deepest.__call__ (ncsnv2.py:269-300) on the params pytree.
 
     segment: implementation of the 8×2 deep segment (default
-    deep_segment_jnp; pass kernels.deep_segment.deep_segment_pallas for
-    the VMEM-resident fused kernel)."""
+    deep_segment_jnp; the hook where a fused VMEM-resident kernel would
+    plug in — measured-and-declined in round 4, see module docstring)."""
     segment = segment or deep_segment_jnp
     h = 2.0 * x - 1.0
     out = conv2d_p(params["begin_conv"], h)

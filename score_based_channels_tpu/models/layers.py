@@ -79,7 +79,11 @@ class Conv2d(nn.Module):
         # stages, where every ±dx column tap is dead — XLA still performs
         # those FLOPs if we don't slice them out). Exactly equal numerics:
         # the pruned taps contribute 0 by construction.
-        if self.dilation > 1 and k > 1:
+        # (odd k only: the symmetric pad-reconstruction below assumes a
+        # center tap; an even k with dilation>1 would change the output
+        # shape vs the unpruned path — unreachable with the all-3×3
+        # architecture, gated for safety, ADVICE r4)
+        if self.dilation > 1 and k > 1 and k % 2 == 1:
             H, W = x.shape[1], x.shape[2]
             c = k // 2
             keep_h = [i for i in range(k) if self.dilation * abs(i - c) < H]

@@ -120,6 +120,19 @@ def test_mmse_posterior_averaging_runs():
     assert res.nmse_mean_est.mean() <= res.nmse_single.mean() * 1.2
 
 
+def test_mmse_chunk_padding_larger_than_batch():
+    """chunk_size > B: the pad must still produce whole-chunk batches
+    (one compiled shape) and identical results to the unchunked run
+    (ADVICE r4: the old single-tile pad under-filled when ext > B)."""
+    cfg = tiny_cfg()
+    zero = lambda x, s: jnp.zeros_like(x)
+    kw = dict(snr_range=np.array([10.0]), num_channels=2, mmse_avg=3)
+    a = run_mmse_estimation(zero, cfg, **kw)  # B = 6, one chunk
+    b = run_mmse_estimation(zero, cfg, **kw, chunk_size=16)  # pad 6 → 16
+    np.testing.assert_allclose(a.nmse_mean_est, b.nmse_mean_est,
+                               rtol=1e-5, atol=1e-7)
+
+
 def test_em_bg_amp_recovers_sparse_signal():
     """Noiseless-ish full pilots + sparse Z → AMP must reconstruct."""
     from score_based_channels_tpu.baselines.amp import em_bg_amp

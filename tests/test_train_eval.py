@@ -197,6 +197,38 @@ def test_warm_start_lmmse_truncated_schedule():
     assert warm.best_nmse[0, 0, 0] <= first_warm * 1.05
 
 
+def test_auto_init_with_stride_scales_warm_alpha():
+    """--init auto + --stride: warm-branch chains must use the
+    stride-compensated alpha (ADVICE r4), and the run stays finite."""
+    import dataclasses as _dc
+
+    from score_based_channels_tpu.baselines.lmmse import (
+        empirical_covariance,
+    )
+    from score_based_channels_tpu.data.dataset import ChannelDataset
+    from score_based_channels_tpu.eval.estimate import run_snr_sweep
+
+    cfg = tiny_config(num_classes=24, num_channels=16)
+    cfg = cfg.replace(model=_dc.replace(cfg.model, sigma_rate=0.8))
+    train_ds = ChannelDataset(1234, cfg.data, norm="global")
+    val_ds = ChannelDataset(4321, _dc.replace(cfg.data, num_channels=16),
+                            norm=list(train_ds.norm_stats), num_pilots=38)
+    cov = empirical_covariance(train_ds)
+    calib = np.asarray(train_ds.hermitian_c2(normalized=True)[:8])
+    zero = lambda x, s: jnp.zeros_like(x)
+    kw = dict(snr_range=np.array([10.0]), num_channels=4,
+              init="auto", sigma_start=1.0, init_cov=cov, auto_calib=calib)
+    full = run_snr_sweep(zero, cfg, val_ds, key=jax.random.key(5), **kw)
+    strided = run_snr_sweep(zero, cfg, val_ds, key=jax.random.key(5),
+                            level_stride=2, **kw)
+    assert np.all(np.isfinite(full)) and np.all(np.isfinite(strided))
+    # strided trace is shorter but both protocols remain in the same
+    # NMSE regime (a mis-scaled warm alpha diverges or stalls the chain)
+    assert strided.shape[1] < full.shape[1]
+    assert (10 * np.log10(strided.min(axis=1).mean())
+            < 10 * np.log10(full[:, 0].mean()) + 3.0)
+
+
 def test_ls_init_runs():
     import dataclasses as _dc
 
