@@ -191,6 +191,134 @@ def plot_flagship(output: str, bound_coupling: str = "fixed",
     print(f"saved {output}")
 
 
+_PILOT_ALPHAS = (1.0, 0.8, 0.6)
+
+
+def plot_pilot_axis(
+    output: str,
+    hparams_fmt: str = "results/score/CDL-C-fixed-hyperparameters-a{a}.npz",
+    blind_fmt: str = "results/score/fixedcoupling/results_blind_a{a}.npz",
+    known_fmt: str = "results/score/fixedcoupling/results_known_a{a}.npz",
+    lasso_path: str = "results/baselines/lasso_fixed_allalpha.npz",
+    bound_coupling: str = "fixed",
+) -> None:
+    """The reference's per-pilot-density deliverable (plot_ood_results.py):
+    blind-SNR (left: ONE stopping step per α for the whole sweep,
+    :12-14) vs known-SNR (right: per-SNR stop tables, :76-82) score
+    curves for α ∈ {1.0, 0.8, 0.6}, with the per-α Lasso rows dotted and
+    the per-α genie bounds — on one ensemble.
+
+    Blind stop selection: mean-over-SNR dB-NMSE argmin on the TUNE set
+    (TuneResults.blind_selection, 50 channels, seed 4321 tune batch);
+    the plotted curves are the separate 100-channel estimate runs read
+    at that pre-selected step — mirroring the reference's hard-coded
+    'Best N' applied to saved runs. Lasso blind iteration chosen by the
+    same mean-dB rule from its own per-iteration trace.
+    """
+    from matplotlib import pyplot as plt
+
+    plt.rcParams["font.size"] = 13
+    fig, axes = plt.subplots(1, 2, figsize=(18, 7.5))
+    colors = {1.0: "tab:red", 0.8: "tab:green", 0.6: "tab:blue"}
+    markers = {1.0: "*", 0.8: "o", 0.6: "s"}
+
+    lasso = None
+    if os.path.exists(lasso_path):
+        with np.load(lasso_path) as d:
+            lasso = {k: d[k] for k in d.files}
+
+    table_rows = []
+    for a in _PILOT_ALPHAS:
+        hp_f, bl_f, kn_f = (f.format(a=a) for f in
+                            (hparams_fmt, blind_fmt, known_fmt))
+        if not all(os.path.exists(f) for f in (hp_f, bl_f, kn_f)):
+            print(f"# pilot_axis: missing files for alpha={a}, skipping")
+            continue
+        with np.load(hp_f) as h:
+            blind_step = int(h["blind_step"])
+            blind_alpha = float(h["blind_alpha"])
+            blind_beta = float(h["blind_beta"])
+            known_steps = h["best_step_snr"].astype(int)
+        blind = EstimationResults.load(bl_f)
+        known = EstimationResults.load(kn_f)
+        c, m = colors[a], markers[a]
+        snr = blind.snr_range
+        blind_db = 10 * np.log10(blind.avg_nmse[0, 0, :, blind_step])
+        axes[0].plot(snr, blind_db, color=c, marker=m, linewidth=3,
+                     markersize=9, label=rf"Score, $\alpha$={a:.1f}")
+        known_db = 10 * np.log10(nmse_at_per_snr_steps(known, known_steps))
+        axes[1].plot(known.snr_range, known_db, color=c, marker=m,
+                     linewidth=3, markersize=9,
+                     label=rf"Score, $\alpha$={a:.1f}")
+        table_rows.append((a, blind_step, blind_alpha, blind_beta,
+                           snr, blind_db, known_steps, known_db))
+
+        if lasso is not None:
+            ia = np.where(np.isclose(lasso["alpha_range"], a))[0]
+            if ia.size:
+                # complete_log (nA, nL, nR, S, steps, C): best (λ, lr)
+                # per α by final-min mean; blind iter by mean-dB rule
+                log = lasso["complete_log"][ia[0]]  # (nL, nR, S, steps, C)
+                avg = log.mean(-1)  # (nL, nR, S, steps)
+                with np.errstate(divide="ignore"):
+                    db = 10 * np.log10(
+                        np.where(np.isfinite(avg), avg, np.inf))
+                sc = db.mean(axis=2)  # (nL, nR, steps)
+                iL, iR, it = np.unravel_index(np.argmin(sc), sc.shape)
+                axes[0].plot(lasso["snr_range"], db[iL, iR, :, it],
+                             color=c, marker=m, markersize=7,
+                             linestyle="dotted", linewidth=2,
+                             label=rf"Lasso, $\alpha$={a:.1f}")
+                known_l = db.min(axis=-1).min(axis=(0, 1))  # (S,)
+                axes[1].plot(lasso["snr_range"], known_l, color=c,
+                             marker=m, markersize=7, linestyle="dotted",
+                             linewidth=2, label=rf"Lasso, $\alpha$={a:.1f}")
+
+        from .chanstats import lmmse_bound_db
+
+        np_pilots = int(np.floor(64 * a))
+        snr_b = np.asarray(snr, float)
+        b = lmmse_bound_db("CDL-C", snr_b, num_pilots=np_pilots,
+                           num_pilot_draws=2, ray_coupling=bound_coupling)
+        for ax in axes:
+            ax.plot(snr_b, b, color=c, linestyle="dashed", linewidth=1.2,
+                    alpha=0.55,
+                    label=rf"genie bound, $\alpha$={a:.1f}")
+
+    for ax, title in zip(axes, ("Blind (Unknown SNR)", "Known SNR")):
+        ax.grid()
+        ax.set_xlabel("SNR [dB]")
+        ax.set_ylabel("NMSE [dB]")
+        ax.set_title(title)
+        ax.legend(fontsize=10)
+    fig.tight_layout()
+    _ensure_dir(output)
+    fig.savefig(output, dpi=300, bbox_inches="tight")
+    plt.close(fig)
+
+    # markdown: per-α stop tables + anchor NMSE (the reference's
+    # plot_ood_results.py:12-15,76-82 tables, regenerated not hard-coded)
+    anchors = np.array([-10.0, 0.0, 10.0, 20.0, 30.0])
+    print("| α | blind N | blind (α_step, β) | " +
+          " | ".join(f"blind {a:+.0f} dB" for a in anchors) + " |")
+    print("|---|---|---|" + "---|" * len(anchors))
+    for (a, bs, ba, bb, snr, bdb, ks, kdb) in table_rows:
+        cells = [f"{bdb[np.isclose(snr, x)][0]:.2f}" if
+                 np.isclose(snr, x).any() else "—" for x in anchors]
+        print(f"| {a:.1f} | {bs} | ({ba:.0e}, {bb:.0e}) | " +
+              " | ".join(cells) + " |")
+    print()
+    print("| α | known-SNR stop table (per SNR) | " +
+          " | ".join(f"known {a:+.0f} dB" for a in anchors) + " |")
+    print("|---|---|" + "---|" * len(anchors))
+    for (a, bs, ba, bb, snr, bdb, ks, kdb) in table_rows:
+        cells = [f"{kdb[np.isclose(snr, x)][0]:.2f}" if
+                 np.isclose(snr, x).any() else "—" for x in anchors]
+        print(f"| {a:.1f} | {' '.join(str(int(s)) for s in ks)} | " +
+              " | ".join(cells) + " |")
+    print(f"saved {output}")
+
+
 def main(argv=None):
     """CLI: regenerate the committed figures from saved results npz files.
 
@@ -219,6 +347,11 @@ def main(argv=None):
     p.add_argument("--flagship", action="store_true",
                    help="one-ensemble all-methods Fig. 5c figure + table "
                         "from the standard round-4 artifact paths")
+    p.add_argument("--pilot_axis", action="store_true",
+                   help="per-pilot-density (alpha 1.0/0.8/0.6) blind vs "
+                        "known-SNR two-panel figure + stop tables "
+                        "(plot_ood_results.py style) from the round-5 "
+                        "fixed-ensemble artifact paths")
     p.add_argument("--results_dir", type=str, default="results/score")
     p.add_argument("--suffix", type=str, default="results.npz",
                    help="per-profile results file name for --ood")
@@ -230,13 +363,17 @@ def main(argv=None):
     matplotlib.use("Agg")
     from matplotlib import pyplot as plt
 
-    if not args.ood and not args.compare and not args.flagship:
-        p.error("pass --compare <results.npz...>, --ood, or --flagship "
-                "(nothing to plot)")
+    if not any((args.ood, args.compare, args.flagship, args.pilot_axis)):
+        p.error("pass --compare <results.npz...>, --ood, --flagship, or "
+                "--pilot_axis (nothing to plot)")
 
     if args.flagship:
         plot_flagship(args.output, bound_coupling=args.bound_coupling,
                       bound_profile=args.bound_profile)
+        return
+
+    if args.pilot_axis:
+        plot_pilot_axis(args.output)
         return
 
     if args.ood:
