@@ -128,6 +128,7 @@ def run_wgan_eval(
     seed: int = 2021,
     chunk_size: Optional[int] = None,
     noise_convention: str = "reference",
+    restarts: int = 1,
 ) -> WGANEvalResults:
     """Reference grids: λ∈{.1,.3,1,3}, lr∈{.03,.01,.003,.001}, SNR −10…15
     step 2.5, noise WITHOUT the Nt factor (test_wgan.py:74-80).
@@ -136,7 +137,14 @@ def run_wgan_eval(
     10^(−SNR/10) (its SNR axis sits ≈10·log10(64)=18 dB left of every
     other baseline's); "aligned" uses the pipeline-wide
     10^(−SNR/10)·Nt (test_score.py:75) so the WGAN row is SNR-comparable
-    in the flagship table (VERDICT r3 weak #4)."""
+    in the flagship table (VERDICT r3 weak #4).
+
+    restarts: R independent z inits per (λ, lr, SNR, channel); the
+    reported chain per cell is the restart with the LOWEST final
+    objective (measurement + λ·reg — measurable at deployment, no
+    oracle), addressing Adam-basin sensitivity of the non-convex
+    inversion (round-5 WGAN-gap work; the reference uses one fixed
+    z init, test_wgan.py:96-97)."""
     if snr_range is None:
         snr_range = np.arange(-10, 17.5, 2.5)
     snr_range = np.asarray(snr_range, np.float64)
@@ -165,9 +173,11 @@ def run_wgan_eval(
     reg_log = np.zeros_like(oracle_log)
 
     key = jax.random.key(seed)
-    # fixed global init z (test_wgan.py:96-97)
+    # fixed global init z (test_wgan.py:96-97); with restarts > 1, R
+    # independent draws per channel (restart axis OUTERMOST in the batch)
     k_z, key = jax.random.split(key)
-    z_init = jax.random.normal(k_z, (C, tc.nz))
+    R = int(restarts)
+    z_init = jax.random.normal(k_z, (R, C, tc.nz))
 
     for i_al, pilot_alpha in enumerate(pilot_alpha_range):
         num_pilots = int(np.floor(config.data.num_tx * pilot_alpha))
@@ -197,14 +207,16 @@ def run_wgan_eval(
         Y_sc = Y_sc + w * jnp.sqrt(jnp.asarray(npow))[:, None, None, None]
 
         G = nL * nR
-        P_b = jnp.tile(P_sc, (G, 1, 1, 1))
-        X_b = jnp.tile(X_sc, (G, 1, 1, 1))
-        Y_b = jnp.tile(Y_sc, (G, 1, 1, 1))
-        z_b = jnp.tile(z_init, (G * S, 1))
-        lam_b = jnp.repeat(jnp.asarray(np.repeat(l2lam_range, nR), jnp.float32),
-                           S * C)
-        lr_b = jnp.repeat(jnp.asarray(np.tile(lr_range, nL), jnp.float32),
-                          S * C)
+        P_b = jnp.tile(P_sc, (R * G, 1, 1, 1))
+        X_b = jnp.tile(X_sc, (R * G, 1, 1, 1))
+        Y_b = jnp.tile(Y_sc, (R * G, 1, 1, 1))
+        z_b = jnp.reshape(
+            jnp.tile(z_init[:, None], (1, G * S, 1, 1)), (-1, tc.nz))
+        lam_b = jnp.tile(jnp.repeat(
+            jnp.asarray(np.repeat(l2lam_range, nR), jnp.float32), S * C),
+            (R,))
+        lr_b = jnp.tile(jnp.repeat(
+            jnp.asarray(np.tile(lr_range, nL), jnp.float32), S * C), (R,))
 
         run = jax.jit(lambda z0, p, y, lam, lr_, orc: wgan_invert(
             gen_apply, z0, p, y, lam, lr_, num_steps=num_steps, oracle2=orc))
@@ -218,10 +230,23 @@ def run_wgan_eval(
             tr_o.append(np.asarray(o))
             tr_m.append(np.asarray(m))
             tr_r.append(np.asarray(r))
+        lam_np = np.asarray(lam_b).reshape(R, nL, nR, S, C)
         for logs, parts in ((oracle_log, tr_o), (meas_log, tr_m),
                             (reg_log, tr_r)):
-            t = np.concatenate(parts, axis=1).reshape(num_steps, nL, nR, S, C)
-            logs[:, :, i_al] = np.transpose(t, (1, 2, 3, 0, 4))
+            t = np.concatenate(parts, axis=1).reshape(
+                num_steps, R, nL, nR, S, C)
+            if R > 1:
+                # per-cell restart selection by FINAL objective (no oracle)
+                tm = np.concatenate(tr_m, axis=1).reshape(
+                    num_steps, R, nL, nR, S, C)
+                trg = np.concatenate(tr_r, axis=1).reshape(
+                    num_steps, R, nL, nR, S, C)
+                obj = tm[-1] + lam_np * trg[-1]  # (R, nL, nR, S, C)
+                pick = np.argmin(obj, axis=0)[None, None]  # (1,1,nL,nR,S,C)
+                t = np.take_along_axis(t, np.broadcast_to(
+                    pick, (num_steps, 1) + t.shape[2:]), axis=1)
+            logs[:, :, i_al] = np.transpose(
+                t[:, 0].reshape(num_steps, nL, nR, S, C), (1, 2, 3, 0, 4))
 
     return WGANEvalResults(
         oracle_log=oracle_log, meas_log=meas_log, reg_log=reg_log,
@@ -247,6 +272,10 @@ def main(argv=None):
     p.add_argument("--alpha_range", nargs="+", type=float, default=[0.6])
     p.add_argument("--chunk", type=int, default=None)
     p.add_argument("--snr", nargs="+", type=float, default=None)
+    p.add_argument("--restarts", type=int, default=1,
+                   help="independent z inits per cell; the reported chain "
+                        "is the restart with the lowest final objective "
+                        "(measurement + lambda*reg — no oracle)")
     p.add_argument("--noise_convention", type=str, default="reference",
                    choices=["reference", "aligned"],
                    help="reference = test_wgan.py:75 (no Nt factor, SNR "
@@ -274,7 +303,7 @@ def main(argv=None):
         l2lam_range=tuple(args.l2lam_range), lr_range=tuple(args.lr_range),
         pilot_alpha_range=tuple(args.alpha_range), num_steps=args.steps,
         num_channels=args.num_channels, chunk_size=args.chunk,
-        noise_convention=args.noise_convention)
+        noise_convention=args.noise_convention, restarts=args.restarts)
     db = res.best_nmse_db()
     for i_al, al in enumerate(res.pilot_alpha_range):
         for s, snr in enumerate(res.snr_range):
