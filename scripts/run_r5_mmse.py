@@ -23,7 +23,6 @@ cap, capped step law alpha_i = chat * sigma_i^2
 """
 
 import argparse
-import sys
 import time
 
 import numpy as np
