@@ -139,6 +139,9 @@ def main():
 
     tag = args.tag or ("fixed" if args.ray_coupling == "fixed" else "random")
     out = f"results/baselines/wgan_oracle_{tag}.npz"
+    import os
+
+    os.makedirs(os.path.dirname(out), exist_ok=True)
     np.savez(out, best_per_channel=best_pc, single_per_channel=single_pc,
              lr_range=np.asarray(args.lr), restarts=R, steps=args.steps,
              trace_mean=o.mean(-1).min(axis=2))  # (steps, nLr) mean curve

@@ -24,9 +24,13 @@ for a in 1.0 0.8 0.6; do
       --alpha_step_range 1e-10 3e-10 6e-10 1.2e-9 2.4e-9 \
       --beta_noise_range 0.1 0.01 0.001 \
       --output $HP > /tmp/r5_tune_a$a.log 2>&1
-  # 2. known-SNR protocol: per-SNR tuned (alpha, beta) + per-SNR stops
+  # 2. known-SNR protocol: per-SNR tuned (alpha, beta) + per-SNR stops.
+  #    --init noise: the per-alpha stop tables are indices into the FULL
+  #    reference anneal trace (plots --pilot_axis reads avg_nmse[..., step]);
+  #    the round-5 auto default would warm-start matched samples and
+  #    desynchronize the trace from the tuner's stop indices.
   timeout 5400 $PY estimate --train CDL-C --test CDL-C \
-      --checkpoint $FIXCK --pilot_alpha $a --hparams $HP \
+      --checkpoint $FIXCK --pilot_alpha $a --hparams $HP --init noise \
       --output results/score/fixedcoupling/results_known_a$a.npz \
       > /tmp/r5_known_a$a.log 2>&1
   # 3. blind-SNR protocol: ONE (alpha, beta, N) for the whole sweep
@@ -36,9 +40,12 @@ for a in 1.0 0.8 0.6; do
       > /tmp/r5_blind_a$a.log 2>&1
 done
 
-# 4. Lasso per alpha on the fixed ensemble (the figure's dotted rows;
-#    lambda/lr from the r4 tuned fixed-ensemble run)
+# 4. Lasso per alpha on the fixed ensemble (the figure's dotted rows).
+#    Small (lambda, lr) grid around the reference defaults so each alpha
+#    gets its own best combo (grid-as-batch; the per-alpha argmin is
+#    taken inside plots --pilot_axis from complete_log).
 timeout 10800 $PY lasso --ray_coupling fixed --alpha 1.0 0.8 0.6 \
+    --lmbda 0.1 0.3 1.0 --lr 1e-3 3e-3 \
     --output results/baselines/lasso_fixed_allalpha.npz \
     > /tmp/r5_lasso_allalpha.log 2>&1
 
