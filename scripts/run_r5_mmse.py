@@ -93,7 +93,7 @@ def phase_fixed():
     print(f"saved {out} (chat={chat}) [{time.time()-t0:.0f}s total]")
 
 
-def phase_persnr(ensemble):
+def phase_persnr(ensemble, num_channels=100):
     """Per-SNR chat: calibrate on the full 17-SNR grid, produce with the
     per-SNR alpha array."""
     score_fn, config, sigma_end = load_score_fn(ensemble)
@@ -116,7 +116,8 @@ def phase_persnr(ensemble):
     print(f"# per-SNR chat: {chat_snr}", flush=True)
     alpha_snr = (chat_snr * sigma_end**2).astype(np.float32)
     res = run_mmse_estimation(
-        score_fn, config, snr_range=snr_range, num_channels=100, mmse_avg=50,
+        score_fn, config, snr_range=snr_range, num_channels=num_channels,
+        mmse_avg=50,
         init="noise", beta_noise=1.0, alpha_step=alpha_snr,
         coef_cap="auto", chunk_size=256, progress=True)
     for s, snr in enumerate(res.snr_range):
@@ -138,8 +139,12 @@ if __name__ == "__main__":
     p.add_argument("--phase", required=True, choices=["fixed", "persnr"])
     p.add_argument("--ensemble", default="random",
                    choices=["random", "fixed"])
+    p.add_argument("--num_channels", type=int, default=100,
+                   help="persnr production scale (the calibration gain "
+                        "measurement tolerates 50 when wall-clock is "
+                        "tight; the global-chat row stays at 100)")
     args = p.parse_args()
     if args.phase == "fixed":
         phase_fixed()
     else:
-        phase_persnr(args.ensemble)
+        phase_persnr(args.ensemble, num_channels=args.num_channels)

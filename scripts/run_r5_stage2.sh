@@ -21,8 +21,10 @@ timeout 10800 python scripts/run_r5_mmse.py --phase fixed \
     > /tmp/r5_mmse_fixed.log 2>&1
 
 # 3. MMSE per-SNR chat on the random ensemble (closes the 0.89 dB
-#    high-SNR gap of the global-chat law)
+#    high-SNR gap of the global-chat law). 50 channels: the calibration
+#    gain is a bound-gap measurement, not a headline row — halved scale
+#    keeps the whole stage inside the round's wall-clock.
 timeout 14400 python scripts/run_r5_mmse.py --phase persnr \
-    --ensemble random > /tmp/r5_mmse_persnr.log 2>&1
+    --ensemble random --num_channels 50 > /tmp/r5_mmse_persnr.log 2>&1
 
 echo STAGE2_DONE
