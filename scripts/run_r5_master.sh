@@ -12,26 +12,23 @@ FIXCK=models/score/CDL-C-fixedcoupling/final_model.npz
 
 # ---- 0. bootstrap checkpoints --------------------------------------------
 timeout 3600 $PY train-score --train CDL-C --ray_coupling fixed \
-    --output $FIXCK > /tmp/r5_train_fixed.log 2>&1
-timeout 3600 $PY train-score --train CDL-C \
-    > /tmp/r5_train_random.log 2>&1
+    --train_size 2000 --output $FIXCK > /tmp/r5_train_fixed.log 2>&1
 
 # ---- 1. pilot-alpha axis (VERDICT item 1 — top priority) ------------------
 bash scripts/run_r5_pilot_alpha.sh > /tmp/r5_stage1.log 2>&1
+
+# random-ensemble checkpoint (stage-2 per-SNR-chat phase prerequisite;
+# deferred past stage 1 so the top-priority axis starts sooner)
+timeout 3600 $PY train-score --train CDL-C --train_size 2000 \
+    > /tmp/r5_train_random.log 2>&1
 
 # ---- 1b. WGAN training on the fixed ensemble (stage-2 prerequisite) -------
 timeout 10800 $PY train-wgan --ray_coupling fixed \
     --output models/wgan/CDL-C-fixed_0.50.npz > /tmp/r5_wgan_train.log 2>&1
 
-# ---- 1c. improved flagship WGAN row: multi-restart inversion --------------
-timeout 7200 $PY eval-wgan --ray_coupling fixed \
-    --checkpoint models/wgan/CDL-C-fixed_0.50.npz \
-    --noise_convention aligned --restarts 4 \
-    --snr -10 -7.5 -5 -2.5 0 2.5 5 7.5 10 12.5 15 17.5 20 22.5 25 27.5 30 \
-    --output results/baselines/wgan_fixed_aligned_r5.npz \
-    > /tmp/r5_wgan_eval_restarts.log 2>&1
-
 # ---- 2. stage 2: WGAN oracle decomposition + MMSE phases ------------------
+# (the multi-restart flagship WGAN eval is sized AFTER the oracle
+# decomposition attributes the gap — run manually once stage 2 lands)
 bash scripts/run_r5_stage2.sh > /tmp/r5_stage2_outer.log 2>&1
 
 # ---- 3. headline bench -----------------------------------------------------

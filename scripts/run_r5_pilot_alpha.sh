@@ -21,7 +21,7 @@ for a in 1.0 0.8 0.6; do
   #    round-3 data-scale grid, reference procedure)
   timeout 5400 $PY tune --channel CDL-C --checkpoint $FIXCK \
       --pilot_alpha $a \
-      --alpha_step_range 1e-10 3e-10 6e-10 1.2e-9 2.4e-9 \
+      --alpha_step_range 1e-10 3e-10 6e-10 1.2e-9 \
       --beta_noise_range 0.1 0.01 0.001 \
       --output $HP > /tmp/r5_tune_a$a.log 2>&1
   # 2. known-SNR protocol: per-SNR tuned (alpha, beta) + per-SNR stops.
@@ -44,6 +44,7 @@ done
 #    Small (lambda, lr) grid around the reference defaults so each alpha
 #    gets its own best combo (grid-as-batch; the per-alpha argmin is
 #    taken inside plots --pilot_axis from complete_log).
+[ -f results/baselines/lasso_fixed_allalpha.npz ] || \
 timeout 10800 $PY lasso --ray_coupling fixed --alpha 1.0 0.8 0.6 \
     --lmbda 0.1 0.3 1.0 --lr 1e-3 3e-3 \
     --output results/baselines/lasso_fixed_allalpha.npz \
