@@ -46,8 +46,11 @@ CKPTS = {
 }
 CHAT_GRID = (0.01, 0.03, 0.1)
 # the per-SNR phase extends the grid upward: the global-chat law's gap
-# grows with SNR (0.89 dB at 30 dB), i.e. high SNR wants a stronger step
-CHAT_GRID_PERSNR = (0.01, 0.03, 0.1, 0.3)
+# grows with SNR (0.89 dB at 30 dB), i.e. high SNR wants a stronger step.
+# Descending order: the NEW upper value calibrates first, so a wall-clock
+# cutoff mid-grid still answers the high-SNR question (order does not
+# affect the argmin).
+CHAT_GRID_PERSNR = (0.3, 0.1, 0.03, 0.01)
 
 
 def load_score_fn(ensemble):
